@@ -1,0 +1,477 @@
+"""The distributed wave loop — SURVEY §2 op A22 / §3 EP1+EP2.
+
+Replaces the reference's single-threaded ``while queue:`` loop
+(SURVEY §0.2 [GENRE]) with barrier-synchronous Spark waves that
+reproduce its crawl ordering, seen set, image rows and counters
+EXACTLY (BASELINE.json:2,14,15).  Equality is provable because the
+oracle's dequeue order is a pure function of the web graph and policy
+(SPEC-3): no wall-clock enters any decision.
+
+Closed-form re-derivation of the oracle's sequential gates
+----------------------------------------------------------
+Per wave the oracle scans frontier URLs in SPEC-3 key order and, per
+URL, checks: robots → host total cap C → host wave budget B → global
+budget G; only a *fetch* increments any counter.  For host h with
+pre-wave total t0 and eligible (robots-allowed) URLs ranked r=1.. by
+key:
+
+* cap_h = max(0, min(B, C - t0)).  Absent G exhaustion exactly the
+  first cap_h eligible URLs are fetched ("candidates").
+* G is consumed in GLOBAL key order: with ``remaining`` budget, the
+  first ``remaining`` candidates (by global key order) are fetched;
+  exhaustion happens at the key K* of the last fetched candidate.
+* any URL evaluated after exhaustion (key > K*) sees the FINAL host
+  fetch count F_h; any URL before it sees cap_h (all smaller-ranked
+  candidates of its host were already fetched).  Hence every
+  non-fetched URL classifies as:
+      f  = F_h  if exhausted and key > K*  else cap_h
+      status = dropped  if t0 + f >= C          (oracle's C gate)
+             = deferred if f >= B               (oracle's B gate)
+             = dropped  otherwise               (only reachable post-
+                                                 exhaustion: G gate)
+  Deferred URLs re-enter the next wave with their ORIGINAL key
+  (SPEC-5), which keeps the global ordering stable.
+
+This closed form is what lets a 1000-executor cluster reproduce a
+single-process crawl: per-host ranks come from salted windows
+(operators.candidate_set), the global rank from a two-phase
+zipWithIndex (operators.with_global_rank), and everything else is
+joins + column expressions — no sequential scan anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spider_1_spark.engine import operators as ops
+from spider_1_spark.engine.state import (
+    HOSTS_SCHEMA,
+    METRICS_SCHEMA,
+    ParquetSnapshotStore,
+)
+from spider_1_spark.reference_model.spider1_ref import COUNTER_NAMES, Policy
+
+KEY = ops.KEY_COLS  # depth, parent_rank, link_pos, url
+
+
+@dataclass
+class CrawlArtifacts:
+    """Handles onto the committed state after a run (all DataFrames)."""
+
+    crawl_log: DataFrame
+    seen: DataFrame
+    images: DataFrame
+    metrics: DataFrame
+    counters: dict[str, int]
+    n_waves: int
+
+
+class SparkCrawler:
+    """EP1 ``run(seeds)`` / EP2 ``resume()`` (SPEC-1..12)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        policy: Policy,
+        web,
+        root: str,
+        n_salts: int = 8,
+        rank_partitions: int | None = None,
+    ):
+        self.spark = spark
+        self.policy = policy
+        self.web = web
+        self.web_b = spark.sparkContext.broadcast(web)
+        self.store = ParquetSnapshotStore(spark, root)
+        self.n_salts = n_salts
+        self.rank_partitions = rank_partitions
+
+    # ------------------------------------------------------------ run
+
+    def run(self, seeds: list[str], max_waves: int | None = None) -> CrawlArtifacts:
+        """Fresh crawl: ingest seeds, loop waves, commit per wave."""
+        frontier, seed_deduped = ops.ingest_seeds(self.spark, seeds)
+        return self._start(frontier, seed_deduped, max_waves)
+
+    def run_frontier(
+        self, seed_frame: DataFrame, max_waves: int | None = None
+    ) -> CrawlArtifacts:
+        """Fresh crawl from a (seed_rank, raw_url) DataFrame (bench path)."""
+        frontier, seed_deduped = ops.ingest_seed_frame(seed_frame)
+        return self._start(frontier, seed_deduped, max_waves)
+
+    def _start(
+        self, frontier: DataFrame, seed_deduped: int, max_waves: int | None
+    ) -> CrawlArtifacts:
+        st = self.store
+        st.cleanup()
+        st.write_version("frontier", 0, frontier)
+        seen0 = st.read_version("frontier", 0).select(
+            "url",
+            "host_hash",
+            F.lit(0).alias("first_wave"),
+            "depth",
+            "parent_rank",
+            "link_pos",
+        )
+        st.write_version("seen", 0, seen0)
+        st.write_version("hosts", 0, self.spark.createDataFrame([], HOSTS_SCHEMA))
+        counters = {k: 0 for k in COUNTER_NAMES}
+        counters["deduped"] = seed_deduped
+        # empty seed frontier => zero waves, like the oracle's
+        # `while frontier:` never entering the loop
+        empty = st.read_version("frontier", 0).limit(1).count() == 0
+        manifest = {
+            "wave_id": -1,
+            "versions": {"frontier": 0, "seen": 0, "hosts": 0},
+            "seq_next": 0,
+            "global_fetched": 0,
+            "counters": counters,
+            "done": empty,
+        }
+        st.commit(manifest)
+        return self._loop(manifest, max_waves)
+
+    def resume(self, max_waves: int | None = None) -> CrawlArtifacts:
+        """EP2: continue from the last committed manifest (SPEC-12)."""
+        st = self.store
+        manifest = st.read_manifest()
+        if manifest is None:
+            raise ValueError(f"no manifest at {self.store.root}")
+        st.cleanup()
+        return self._loop(manifest, max_waves)
+
+    # ----------------------------------------------------------- loop
+
+    def _loop(self, manifest: dict, max_waves: int | None) -> CrawlArtifacts:
+        waves_run = 0
+        while not manifest["done"]:
+            if max_waves is not None and waves_run >= max_waves:
+                break
+            manifest = self._wave(manifest)
+            waves_run += 1
+        return self.artifacts(manifest)
+
+    def artifacts(self, manifest: dict | None = None) -> CrawlArtifacts:
+        if manifest is None:
+            manifest = self.store.read_manifest()
+        wave = manifest["wave_id"]
+        v = manifest["versions"]
+        return CrawlArtifacts(
+            crawl_log=self.store.read_waves("crawl_log", wave),
+            seen=self.store.read_version("seen", v["seen"]),
+            images=self.store.read_waves("images", wave),
+            metrics=self.store.read_waves("metrics", wave),
+            counters=dict(manifest["counters"]),
+            n_waves=wave + 1,
+        )
+
+    # ----------------------------------------------------------- wave
+
+    def _wave(self, manifest: dict) -> dict:
+        spark, st, pol = self.spark, self.store, self.policy
+        wave = manifest["wave_id"] + 1
+        v = manifest["versions"]
+        remaining = pol.global_page_budget - manifest["global_fetched"]
+        counters = dict(manifest["counters"])
+        metrics: list[tuple] = []  # (stage, pid, counter_name, n)
+
+        frontier = st.read_version("frontier", v["frontier"])
+        hosts = st.read_version("hosts", v["hosts"])
+        seen = st.read_version("seen", v["seen"])
+
+        # --- A11/SPEC-6: robots for first-appearance hosts -----------
+        wave_hosts = frontier.select("host", "host_hash").distinct()
+        new_hosts = wave_hosts.join(hosts.select("host"), "host", "left_anti")
+        new_host_rows = ops.fetch_robots(new_hosts, self.web_b, pol.user_agent)
+        hosts_all = hosts.unionByName(new_host_rows)
+        # hosts relevant to this wave, broadcast (BASELINE.json:6)
+        hosts_wave = hosts_all.join(wave_hosts.select("host"), "host", "left_semi")
+        hosts_wave = hosts_wave.persist()  # robots fetch is deterministic
+
+        # --- robots gate + t0 join ----------------------------------
+        fr = frontier.join(
+            F.broadcast(hosts_wave.select("host", "rules_json", "fetch_total")),
+            "host",
+            "left",
+        ).withColumn(
+            "allowed", ops.robots_allowed_udf(F.col("url"), F.col("rules_json"))
+        )
+        fr = fr.withColumn("t0", F.coalesce(F.col("fetch_total"), F.lit(0)))
+        fr = fr.persist()
+
+        blocked = fr.filter(~F.col("allowed"))
+        for pid, n in self._pcounts(blocked):
+            metrics.append(("robots", pid, "robots_blocked", n))
+        counters["robots_blocked"] += sum(n for _, n in self._pcounts_cache)
+
+        allowed = fr.filter(F.col("allowed"))
+
+        # --- A5+A9+A10: candidates, global rank, G cutoff ------------
+        cand = ops.candidate_set(allowed, pol, self.n_salts)
+        ranked = ops.with_global_rank(
+            cand, spark, KEY, out_col="g", num_partitions=self.rank_partitions
+        )
+        fetchset = ranked.filter(F.col("g") < remaining).withColumn(
+            "seq", F.col("g") + F.lit(manifest["seq_next"])
+        )
+        fetchset = fetchset.persist()
+        fetch_pc = self._pcounts(fetchset)
+        for pid, n in fetch_pc:
+            metrics.append(("fetch", pid, "fetched", n))
+        n_fetched = sum(n for _, n in fetch_pc)
+        counters["fetched"] += n_fetched
+        # n_cand >= remaining  <=>  the G budget ran out mid-wave
+        exhausted = n_fetched == remaining
+        if exhausted:
+            kstar = (
+                fetchset.filter(F.col("g") == remaining - 1)
+                .select(*KEY)
+                .collect()[0]
+            )
+        else:
+            kstar = None
+
+        # --- classify every non-fetched URL (closed form, see module
+        #     docstring) ---------------------------------------------
+        f_h = fetchset.groupBy("host").agg(F.count("*").alias("F_h"))
+        rest = (
+            allowed.join(fetchset.select("url"), "url", "left_anti")
+            .join(f_h, "host", "left")
+            .withColumn("F_h", F.coalesce(F.col("F_h"), F.lit(0)))
+            .withColumn(
+                "cap_h",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(pol.per_host_wave_budget),
+                        F.lit(pol.per_host_total_cap) - F.col("t0"),
+                    ),
+                ),
+            )
+        )
+        if kstar is not None:
+            post = (
+                F.struct(*[F.col(c) for c in KEY])
+                > F.struct(*[F.lit(kstar[c]).alias(c) for c in KEY])
+            )
+        else:
+            post = F.lit(False)
+        f_eff = F.when(post, F.col("F_h")).otherwise(F.col("cap_h"))
+        rest = rest.withColumn(
+            "status",
+            F.when(
+                F.col("t0") + f_eff >= F.lit(pol.per_host_total_cap), "dropped"
+            )
+            .when(f_eff >= F.lit(pol.per_host_wave_budget), "deferred")
+            .otherwise("dropped"),
+        )
+        rest = rest.persist()
+        # one job for both gate counters (keyed by partition AND status)
+        for r in (
+            rest.groupBy(
+                F.spark_partition_id().alias("partition_id"), "status"
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            metrics.append(("gate", int(r["partition_id"]), r["status"], int(r["n"])))
+            counters[r["status"]] += int(r["n"])
+        deferred = rest.filter(F.col("status") == "deferred")
+
+        # --- A12/A13: fetch + extract refs ---------------------------
+        refs = ops.fetch_extract(fetchset, self.web_b)
+        refs = refs.withColumn(
+            "url", ops.canonicalize_base_udf(F.col("raw_url"), F.col("parent_url"))
+        ).filter(F.col("url").isNotNull())
+        refs = refs.persist()
+
+        # seen gate (A7 exact anti-join; duplicates per occurrence)
+        seen_urls = seen.select("url")
+        dup_seen = refs.join(seen_urls, "url", "left_semi")
+        new_refs = refs.join(seen_urls, "url", "left_anti")
+
+        # beyond-max_depth anchors vanish silently BEFORE intra-wave
+        # dedup (oracle inserts nothing into seen for them — SPEC-7)
+        new_refs = new_refs.filter(
+            ~(
+                (F.col("kind") == "a")
+                & (F.col("parent_depth") + 1 > F.lit(pol.max_depth))
+            )
+        )
+        # A8 intra-wave dedup: first discovery by (seq, pos) wins
+        w_url = Window.partitionBy("url").orderBy("seq", "pos")
+        new_refs = new_refs.withColumn("_rn", F.row_number().over(w_url))
+        new_refs = new_refs.persist()
+        dup_intra = new_refs.filter(F.col("_rn") > 1)
+        # one job covering both dedup sources (already-seen + intra-wave)
+        pid = F.spark_partition_id().alias("partition_id")
+        for r in (
+            dup_seen.select(pid)
+            .unionAll(dup_intra.select(pid))
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            metrics.append(("dedup", int(r["partition_id"]), "deduped", int(r["n"])))
+            counters["deduped"] += int(r["n"])
+        fresh = new_refs.filter(F.col("_rn") == 1).drop("_rn")
+        fresh = ops.with_host(fresh).persist()
+
+        # --- A14/A15: decode new images ------------------------------
+        img_refs = fresh.filter(F.col("kind") == "img")
+        decoded = ops.decode_images(img_refs, self.web_b).persist()
+        failed = decoded.filter(~F.col("ok"))
+        for pid, n in self._pcounts(failed):
+            metrics.append(("decode", pid, "decode_failed", n))
+        counters["decode_failed"] += sum(n for _, n in self._pcounts_cache)
+        images_out = decoded.filter(F.col("ok")).select(
+            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+
+        # --- commit: appends, then versions, then manifest -----------
+        st.write_wave(
+            "crawl_log",
+            wave,
+            fetchset.select(
+                "seq",
+                "url",
+                "depth",
+                "parent_rank",
+                "link_pos",
+                F.lit(wave).alias("wave_id"),
+            ).repartitionByRange(
+                max(1, self._shuffle_partitions()), F.col("seq")
+            ),
+        )
+        st.write_wave("images", wave, images_out)
+        st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
+
+        # next frontier = fresh anchors at depth+1  ∪  deferred
+        next_frontier = (
+            fresh.filter(F.col("kind") == "a")
+            .select(
+                "url",
+                "host",
+                "host_hash",
+                (F.col("parent_depth") + 1).alias("depth"),
+                F.col("seq").alias("parent_rank"),
+                F.col("pos").alias("link_pos"),
+                F.lit(wave).alias("discovered_wave"),
+                F.lit("PENDING").alias("state"),
+            )
+            .unionByName(
+                deferred.select(
+                    "url",
+                    "host",
+                    "host_hash",
+                    "depth",
+                    "parent_rank",
+                    "link_pos",
+                    "discovered_wave",
+                    F.lit("DEFERRED").alias("state"),
+                )
+            )
+        )
+        # explicit host-hash range partitioning on the persisted
+        # frontier (BASELINE.json:6 "explicit repartitionByRange")
+        st.write_version(
+            "frontier",
+            v["frontier"] + 1,
+            next_frontier.repartitionByRange(
+                max(1, self._shuffle_partitions()), F.col("host_hash"), F.col("url")
+            ),
+        )
+
+        seen_new = fresh.select(
+            "url",
+            "host_hash",
+            F.lit(wave).alias("first_wave"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.col("seq").alias("parent_rank"),
+            F.col("pos").alias("link_pos"),
+        )
+        st.write_version("seen", v["seen"] + 1, seen.unionByName(seen_new))
+
+        hosts_next = (
+            hosts_all.join(f_h, "host", "left")
+            .withColumn(
+                "fetch_total",
+                (F.col("fetch_total") + F.coalesce(F.col("F_h"), F.lit(0))).cast(
+                    "int"
+                ),
+            )
+            .drop("F_h")
+        )
+        st.write_version("hosts", v["hosts"] + 1, hosts_next)
+
+        # frontier-empty check against the COMMITTED parquet (cheap,
+        # also cuts lineage for the next wave)
+        frontier_empty = (
+            st.read_version("frontier", v["frontier"] + 1).limit(1).count() == 0
+        )
+        global_fetched = manifest["global_fetched"] + n_fetched
+        done = frontier_empty or global_fetched >= pol.global_page_budget
+
+        for df in (fr, hosts_wave, ranked, fetchset, rest, refs, new_refs, fresh, decoded):
+            df.unpersist()
+
+        new_manifest = {
+            "wave_id": wave,
+            "versions": {
+                "frontier": v["frontier"] + 1,
+                "seen": v["seen"] + 1,
+                "hosts": v["hosts"] + 1,
+            },
+            "seq_next": manifest["seq_next"] + n_fetched,
+            "global_fetched": global_fetched,
+            "counters": counters,
+            "done": done,
+        }
+        st.commit(new_manifest)
+        return new_manifest
+
+    # -------------------------------------------------------- helpers
+
+    def _shuffle_partitions(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def _pcounts(self, df: DataFrame) -> list[tuple[int, int]]:
+        """Per-partition row counts (A20); caches the result so the
+        caller can both log per-partition rows and sum totals."""
+        rows = [
+            (int(r["partition_id"]), int(r["n"]))
+            for r in df.groupBy(
+                F.spark_partition_id().alias("partition_id")
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        self._pcounts_cache = rows
+        return rows
+
+    def _metrics_df(self, wave: int, entries: list[tuple]) -> DataFrame:
+        """Wide per-(stage, partition) metrics rows (FIXTURES §A6)."""
+        byp: dict[tuple[str, int], dict[str, int]] = {}
+        for stage, pid, name, n in entries:
+            byp.setdefault((stage, pid), {})[name] = (
+                byp.setdefault((stage, pid), {}).get(name, 0) + n
+            )
+        rows = [
+            (
+                wave,
+                stage,
+                pid,
+                int(c.get("fetched", 0)),
+                int(c.get("deduped", 0)),
+                int(c.get("deferred", 0)),
+                int(c.get("dropped", 0)),
+                int(c.get("robots_blocked", 0)),
+                int(c.get("decode_failed", 0)),
+            )
+            for (stage, pid), c in sorted(byp.items())
+        ]
+        return self.spark.createDataFrame(rows, METRICS_SCHEMA)

@@ -1,0 +1,363 @@
+"""Spark-side crawl operators — SURVEY §2 Layer A (A1–A20).
+
+Every operator is a pure DataFrame→DataFrame function; Python crosses
+the JVM boundary ONLY via Arrow-vectorized forms (``pandas_udf``,
+``mapInPandas``) per the BASELINE.json:15 "no per-row Python" API
+constraint.  The semantics are pinned by SURVEY §0.4 SPEC-1..11 and
+shared with the single-process oracle through the pure modules in
+``spider_1_spark.functions`` — sharing one implementation is what makes
+"exact match vs reference" testable.
+
+Scale notes (the 100 TB / 10^10-URL design points, SURVEY §6):
+  * per-host politeness ranks are computed with a SALTED two-phase
+    window (A5): salt-local top-B first (bounded partitions even for a
+    host holding 10^8 frontier rows), then an exact window over the
+    ≤ n_salts·B survivors per host;
+  * the global fetch sequence uses a two-phase range-partitioned rank
+    (`with_global_rank`) instead of a single-partition Window — the
+    classic distributed zipWithIndex, O(P) driver state;
+  * non-candidates never need a per-host rank at all: their
+    dropped/deferred classification is a closed-form function of
+    (t0, cap_h, F_h, G-cutoff key) derived in the module docstring of
+    crawler.py — so the skewed tail of a hot host is classified with
+    one broadcast-ish join, no sort.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spider_1_spark.functions import robots as robots_mod
+from spider_1_spark.functions.codecs import DecodeError, decode
+from spider_1_spark.functions.extract import extract_refs
+from spider_1_spark.functions.phash import dhash64
+from spider_1_spark.functions.urlnorm import canonicalize, host_of
+from spider_1_spark.reference_model.spider1_ref import image_id_of
+
+# sort key shared by every ordering decision (SPEC-3); url is a
+# tiebreak only (keys are unique by construction, see spider1_ref).
+KEY_COLS = ["depth", "parent_rank", "link_pos", "url"]
+
+
+# ------------------------------------------------------------------ A2
+
+@F.pandas_udf(T.StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    """A2: RFC 3986 canonicalization, vectorized (SPEC-2)."""
+    return urls.map(lambda u: canonicalize(u) if u is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_base_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    """A2: canonicalize relative refs against per-row base URLs."""
+    return pd.Series(
+        [canonicalize(u, base=b) for u, b in zip(urls, bases)], dtype=object
+    )
+
+
+# ------------------------------------------------------------------ A3/A4
+
+@F.pandas_udf(T.StringType())
+def host_udf(urls: pd.Series) -> pd.Series:
+    """A3: host (netloc) of an already-canonical URL."""
+    return urls.map(lambda u: host_of(u) if u is not None else None)
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """A3+A4: host + stable 64-bit host hash for partitioning."""
+    return df.withColumn("host", host_udf(F.col(url_col))).withColumn(
+        "host_hash", F.xxhash64("host")
+    )
+
+
+# ------------------------------------------------------------------ A1
+
+def ingest_seeds(spark: SparkSession, seeds: list[str]) -> tuple[DataFrame, int]:
+    """A1: ordered seed list → wave-0 frontier (SPEC-1/4).
+
+    Returns (frontier_df, deduped_count).  Seed index is explicit —
+    never ``monotonically_increasing_id`` (SURVEY §7 hard part 1).
+    First occurrence wins; duplicates count into ``deduped``.
+    """
+    raw = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "seed_rank long, raw_url string"
+    )
+    return ingest_seed_frame(raw)
+
+
+def ingest_seed_frame(raw: DataFrame) -> tuple[DataFrame, int]:
+    """Distributed seed ingestion from a (seed_rank, raw_url) frame."""
+    df = raw.withColumn("url", canonicalize_udf(F.col("raw_url"))).filter(
+        F.col("url").isNotNull()
+    )
+    w = Window.partitionBy("url").orderBy("seed_rank")
+    df = df.withColumn("_rn", F.row_number().over(w))
+    deduped = df.filter(F.col("_rn") > 1).count()
+    df = df.filter(F.col("_rn") == 1).drop("_rn")
+    frontier = with_host(df).select(
+        "url",
+        "host",
+        "host_hash",
+        F.lit(0).alias("depth"),
+        F.col("seed_rank").alias("parent_rank"),
+        F.lit(0).alias("link_pos"),
+        F.lit(0).alias("discovered_wave"),
+        F.lit("PENDING").alias("state"),
+    )
+    return frontier, int(deduped)
+
+
+# ------------------------------------------------------------------ A11
+
+@F.pandas_udf(T.BooleanType())
+def robots_allowed_udf(urls: pd.Series, rules_json: pd.Series) -> pd.Series:
+    """A11: RFC 9309 allow/deny, vectorized with a per-batch rule cache."""
+    cache: dict[str, list] = {}
+    out = []
+    for u, rj in zip(urls, rules_json):
+        if rj is None or rj == "":
+            out.append(True)
+            continue
+        rules = cache.get(rj)
+        if rules is None:
+            rules = [(bool(a), p) for a, p in json.loads(rj)]
+            cache[rj] = rules
+        out.append(robots_mod.allowed(rules, robots_mod.robots_path(u)))
+    return pd.Series(out)
+
+
+def fetch_robots(new_hosts: DataFrame, web_b, user_agent: str) -> DataFrame:
+    """A11/SPEC-6: fetch+parse robots.txt for first-appearance hosts.
+
+    Distributed ``mapInPandas`` — the robots fetch consumes no budget
+    and produces no crawl-log entry.  Rules stored as a JSON string in
+    the ``hosts`` state table (schema stays flat and portable).
+    """
+    schema = "host string, host_hash long, rules_json string, fetch_total int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        web = web_b.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rules = [
+                json.dumps(robots_mod.parse_robots(web.robots(h), user_agent))
+                for h in pdf["host"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "host_hash": pdf["host_hash"],
+                    "rules_json": rules,
+                    "fetch_total": 0,
+                }
+            )
+
+    return new_hosts.select("host", "host_hash").mapInPandas(gen, schema)
+
+
+# ------------------------------------------------------------------ A5+A9+A10
+
+def candidate_set(allowed: DataFrame, policy, n_salts: int) -> DataFrame:
+    """A5+A10: per-host fetch candidates = host-rank ≤ cap_h, skew-proof.
+
+    ``allowed`` must carry ``t0`` (the host's pre-wave fetch total) and
+    the KEY_COLS.  cap_h = max(0, min(B, C - t0)) — the closed form of
+    the oracle's sequential C-then-B gating for the fetched prefix
+    (derivation in crawler.py docstring).
+
+    Salting (A5): a hot host's frontier rows spread over ``n_salts``
+    sub-partitions; each yields its local top-cap_h, and only the
+    ≤ n_salts·cap_h survivors see the exact per-host window.  The global
+    per-host top-cap_h is a subset of the union of salt-local
+    top-cap_h's, so this is exact, never approximate.
+    """
+    B, C = policy.per_host_wave_budget, policy.per_host_total_cap
+    df = allowed.withColumn(
+        "cap_h",
+        F.greatest(F.lit(0), F.least(F.lit(B), F.lit(C) - F.col("t0"))),
+    )
+    df = df.filter(F.col("cap_h") > 0)
+    df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    w_salt = Window.partitionBy("host", "salt").orderBy(*KEY_COLS)
+    surv = df.withColumn("_sr", F.row_number().over(w_salt)).filter(
+        F.col("_sr") <= F.col("cap_h")
+    )
+    w_host = Window.partitionBy("host").orderBy(*KEY_COLS)
+    return (
+        surv.withColumn("_hr", F.row_number().over(w_host))
+        .filter(F.col("_hr") <= F.col("cap_h"))
+        .drop("_sr", "_hr", "salt")
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    spark: SparkSession,
+    order_cols: list[str],
+    out_col: str = "g",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """A9: dense 0-based global rank by ``order_cols`` — two-phase
+    distributed zipWithIndex (SURVEY §4 "deterministic ordering is
+    engine-owned").
+
+    Phase 1 range-partitions + sorts; phase 2 counts rows per partition
+    (one tiny job, O(P) driver state) and adds ``offset + local_index``
+    in a ``mapInPandas`` pass over the cached sorted partitions.  No
+    single-partition Window — this is the piece that survives a
+    10^10-row frontier.
+    """
+    if num_partitions is None:
+        num_partitions = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    part = part.persist()
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_b = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        part.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        base = off_b.value.get(ctx.partitionId(), 0)
+        n = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + n, base + n + len(pdf))
+            n += len(pdf)
+            yield pdf
+
+    ranked = part.mapInPandas(add_rank, out_schema)
+    return ranked
+
+
+# ------------------------------------------------------------------ A12+A13
+
+REF_SCHEMA = (
+    "parent_url string, parent_depth int, seq long, "
+    "pos int, kind string, raw_url string, caption string"
+)
+
+
+def fetch_extract(fetchset: DataFrame, web_b) -> DataFrame:
+    """A12+A13: batched fetch + document-order ref extraction (SPEC-7).
+
+    One Arrow-batched ``mapInPandas`` stage; emits one row per
+    ``<a href>`` / ``<img src>`` ref with its 0-based document position
+    (= SPEC-3 link_pos) and the verbatim ``alt`` caption.  Pages that
+    404 (``html() is None``) emit nothing.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        web = web_b.value
+        for pdf in batches:
+            rows = []
+            for url, depth, seq in zip(pdf["url"], pdf["depth"], pdf["seq"]):
+                html = web.html(url)
+                if html is None:
+                    continue
+                for pos, kind, raw, cap in extract_refs(html):
+                    rows.append((url, int(depth), int(seq), pos, kind, raw, cap))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "parent_url",
+                        "parent_depth",
+                        "seq",
+                        "pos",
+                        "kind",
+                        "raw_url",
+                        "caption",
+                    ],
+                )
+
+    return fetchset.select("url", "depth", "seq").mapInPandas(gen, REF_SCHEMA)
+
+
+# ------------------------------------------------------------------ A14+A15
+
+IMG_OUT_SCHEMA = (
+    "url string, image_id string, bytes binary, w int, h int, "
+    "fmt string, caption string, phash long, ok boolean"
+)
+
+
+def decode_images(img_refs: DataFrame, web_b) -> DataFrame:
+    """A14+A15: image fetch + decode + dHash, Arrow-batched (SPEC-8/9).
+
+    Emits ``ok=false`` rows (null payload) for missing/corrupt images so
+    the ``decode_failed`` counter can be taken per partition (SPEC-11).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        web = web_b.value
+        for pdf in batches:
+            rows = []
+            for url, cap in zip(pdf["url"], pdf["caption"]):
+                data = web.image(url)
+                if data is None:
+                    rows.append((url, None, None, None, None, None, cap, None, False))
+                    continue
+                try:
+                    rgb, fmt = decode(data)
+                except DecodeError:
+                    rows.append((url, None, None, None, None, None, cap, None, False))
+                    continue
+                h, w = rgb.shape[:2]
+                rows.append(
+                    (url, image_id_of(url), data, w, h, fmt, cap, dhash64(rgb), True)
+                )
+            if rows:
+                cols = list(zip(*rows))
+                # phash/w/h carry Nones for failed rows: a plain
+                # DataFrame would coerce int64→float64 and destroy the
+                # low bits of the 64-bit hash — use nullable Int64.
+                yield pd.DataFrame(
+                    {
+                        "url": cols[0],
+                        "image_id": cols[1],
+                        "bytes": cols[2],
+                        "w": pd.array(cols[3], dtype="Int64"),
+                        "h": pd.array(cols[4], dtype="Int64"),
+                        "fmt": cols[5],
+                        "caption": cols[6],
+                        "phash": pd.array(cols[7], dtype="Int64"),
+                        "ok": cols[8],
+                    }
+                )
+
+    return img_refs.select("url", "caption").mapInPandas(gen, IMG_OUT_SCHEMA)
+
+
+# ------------------------------------------------------------------ A20
+
+def partition_counts(df: DataFrame, name: str) -> DataFrame:
+    """A20: per-partition lineage counter for one stage (SPEC-11)."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias(name)
+    )

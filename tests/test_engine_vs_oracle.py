@@ -1,0 +1,89 @@
+"""SURVEY §5.1 — exact equality of the Spark engine vs the pinned
+single-process oracle (BASELINE.json:2,14,15).
+
+Artifacts compared bit-for-bit per configuration:
+  * crawl ordering: the full (seq, url, depth, parent_rank, link_pos,
+    wave_id) log [SPEC-3];
+  * final URL-seen set WITH discovery metadata [SPEC-4];
+  * images row set: image_id, raw bytes, w, h, fmt, caption, phash
+    [SPEC-8..10] — phash/bytes equality subsumes decoded-pixel
+    equality because both sides share the decoders;
+  * counter totals, and the engine's per-partition metrics rows must
+    SUM to the oracle's totals [SPEC-11].
+
+Configs chosen (tests/../scripts probe) to exercise every gate:
+``tight_g`` hits mid-wave G exhaustion; ``robots`` hits robots_blocked,
+deferral, per-host caps and decode failures.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from spider_1_spark.engine import Policy, SparkCrawler
+from spider_1_spark.fixtures.webgen import SyntheticWeb, make_seeds
+from spider_1_spark.reference_model import spider1_ref as ref
+
+CONFIGS = {
+    # name: (n_hosts, n_seeds, policy)
+    "tight_g": (8, 6, Policy(3, 2, 8, 11)),
+    "robots": (12, 8, Policy(2, 1, 4, 30)),
+}
+
+
+def run_both(spark, name):
+    n_hosts, n_seeds, policy = CONFIGS[name]
+    web = SyntheticWeb(n_hosts)
+    seeds = make_seeds(n_seeds, n_hosts)
+    oracle = ref.crawl(seeds, policy, web)
+    root = tempfile.mkdtemp(prefix=f"spider1_{name}_")
+    try:
+        art = SparkCrawler(spark, policy, web, root).run(seeds)
+        yield_art = (
+            sorted(
+                (r.seq, r.url, r.depth, r.parent_rank, r.link_pos, r.wave_id)
+                for r in art.crawl_log.collect()
+            ),
+            {
+                r.url: (r.first_wave, r.depth, r.parent_rank, r.link_pos)
+                for r in art.seen.collect()
+            },
+            sorted(
+                (r.image_id, bytes(r.bytes), r.w, r.h, r.fmt, r.caption, r.phash)
+                for r in art.images.collect()
+            ),
+            art.counters,
+            art.metrics.collect(),
+            art.n_waves,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return oracle, yield_art
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_engine_matches_oracle_exactly(spark, name):
+    oracle, (log, seen, images, counters, metrics, n_waves) = run_both(
+        spark, name
+    )
+
+    # SPEC-3 crawl ordering, exact
+    assert log == [tuple(t) for t in oracle.crawl_log]
+    # SPEC-4 seen set + discovery metadata, exact
+    assert seen == oracle.seen
+    # SPEC-8..10 image rows, exact (bytes + phash + caption)
+    assert images == sorted(oracle.images)
+    # SPEC-11 counters, exact
+    assert counters == oracle.counters
+    assert n_waves == oracle.n_waves
+
+    # per-partition metrics rows sum to the oracle totals (SPEC-11 /
+    # BASELINE.json:6 "per-partition lineage counters")
+    sums = {k: 0 for k in ref.COUNTER_NAMES}
+    for row in metrics:
+        for k in sums:
+            sums[k] += row[k]
+    assert sums == oracle.counters
