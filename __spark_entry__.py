@@ -1,38 +1,103 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship: a mini end-to-end distributed
+crawl on the deterministic synthetic web (SURVEY §3 EP3), returning
+the images DataFrame in the exact BASELINE.json:15 schema
+``(image_id, bytes, w, h, fmt, caption, phash)``.
+
+``queries()``/``oracle_sql()`` expose the Layer-B relational surface
+(spider_1_spark/relational/queries.py) — each key is verified against
+DuckDB at sf=0.01 — plus rows-only crawl-specific operators whose
+full checks live in pytest (tests/test_engine_vs_oracle.py compares
+the engine against the pinned single-process oracle bit-for-bit).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+
+def _mini_crawl(spark: SparkSession, policy=None) -> DataFrame:
+    from spider_1_spark.engine import Policy, SparkCrawler
+    from spider_1_spark.fixtures.webgen import SyntheticWeb, make_seeds
+
+    policy = policy or Policy(
+        max_depth=2, per_host_wave_budget=2, per_host_total_cap=5,
+        global_page_budget=14,
+    )
+    web = SyntheticWeb(n_hosts=6)
+    root = tempfile.mkdtemp(prefix="spider1_entry_")
+    crawler = SparkCrawler(spark, policy, web, root)
+    art = crawler.run(make_seeds(4, 6))
+    return art.images
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed mini-crawl → images table (rows > 0)."""
+    return _mini_crawl(spark)
+
+
+def _crawl_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mini_crawl(spark)
+
+
+def _crawl_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a standalone operator (rows-only; RFC 3986 vectors in pytest)."""
+    from pyspark.sql import functions as F
+
+    from spider_1_spark.engine.operators import canonicalize_udf
+
+    urls = [
+        "HTTP://EXAMPLE.com:80/a/../b/./c?z=1&a=2#frag",
+        "https://h0.example.test:443/%7Euser/%41%2F?b&a=%20",
+        "http://h1.example.test",
+        "ftp://not-http.example/x",
+        "http://h2.example.test/p/1?b=2&a=1&a=0",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, raw string")
+    return df.select("i", "raw", canonicalize_udf(F.col("raw")).alias("canonical"))
+
+
+def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14+A15 as a standalone stage over synthetic image URLs."""
+    from spider_1_spark.engine.operators import decode_images
+    from spider_1_spark.fixtures.webgen import SyntheticWeb
+
+    web = SyntheticWeb(4)
+    urls = [
+        (f"http://h0.example.test/img/{m}.{fmt}", f"cap {m} {fmt}")
+        for m in range(12)
+        for fmt in ("ppm", "png", "qlossy")
+    ]
+    df = spark.createDataFrame(urls, "url string, caption string")
+    web_b = spark.sparkContext.broadcast(web)
+    return decode_images(df, web_b)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spider_1_spark.relational.queries import FNS
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(FNS)
+    out["crawl_end_to_end"] = _crawl_end_to_end
+    out["crawl_url_canonicalize"] = _crawl_canonicalize
+    out["crawl_decode_phash"] = _crawl_decode_phash
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spider_1_spark.relational.queries import SQL
+
+    return {k: v for k, v in SQL.items() if v is not None}

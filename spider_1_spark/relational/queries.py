@@ -1,0 +1,700 @@
+"""Layer B — the relational/scalar operator surface (SURVEY §2B).
+
+One registry entry per `queries()` key: ``(spark_fn, oracle_sql)``.
+``spark_fn(spark, sf_dir) -> DataFrame``; ``oracle_sql`` is the ANSI
+equivalent DuckDB runs on the same parquet (pre-registered views) —
+``None`` marks a non-SQL-expressible op (driver then records a weaker
+rows-only check per __spark_entry__.py:35-36; the full check lives in
+pytest).
+
+Alias discipline (driver compare is by SORTED column name +
+order-insensitive value hash): every computed column is aliased
+IDENTICALLY on both sides; double aggregates are rounded on both
+sides (Spark and DuckDB may sum doubles in different orders); integer
+computed columns are cast to BIGINT on both sides (DuckDB's sum(int)
+is HUGEINT, length() is BIGINT, while Spark uses int — explicit casts
+keep the schemas aligned).
+
+Scale notes: these are the building blocks the crawl engine uses
+(SURVEY §2B "Used by" column); each is written the way it should run
+on 100 TB — filters before joins (Catalyst pushes them into the scan),
+broadcast hints on dimension tables, window tiebreaks that keep
+ordering deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- scans
+
+def scan_parquet(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+def scan_projection_pushdown(spark, sf):
+    # column pruning: ReadSchema in explain() shows only 2 columns
+    return _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def filter_pred(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 1000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def filter_range_ts(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    ).agg(F.count("*").alias("n"))
+
+
+def project_expr(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+        (F.col("l_quantity") * 2).cast("double").alias("qty2"),
+    )
+
+
+# --------------------------------------------------------------- joins
+
+def join_inner_equi(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
+def join_broadcast(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")  # dimension: force broadcast (A11 shape)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def join_left_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_left_semi(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def join_left_outer(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+def join_nested_loop_theta(spark, sf):
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    return (
+        s.crossJoin(n)
+        .filter(
+            (F.col("s_acctbal") > F.col("n_nationkey") * 100)
+            & (F.col("s_nationkey") != F.col("n_nationkey"))
+        )
+        .select("s_suppkey", "n_nationkey")
+    )
+
+
+def join_range_interval(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("u"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(b, "u")
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------- aggs
+
+def agg_hash_counts(spark, sf):
+    # TPC-H Q1 shape: partial (map-side) + final agg, free from Catalyst
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def agg_count_distinct(spark, sf):
+    return _t(spark, sf, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+def agg_approx_distinct(spark, sf):
+    # approximate — rows-only driver check (SURVEY §2B)
+    return _t(spark, sf, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("n_approx")
+    )
+
+
+def agg_rollup(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def agg_cube(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+def agg_first_by_key(spark, sf):
+    # A8 first-discovery-wins shape: max_by with a unique tiebreak
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias("top_cust")
+    )
+
+
+# ------------------------------------------------------------- windows
+
+def win_row_number(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+def win_rank_dense(spark, sf):
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+def win_lag_lead(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("long")
+        .alias("gap_s"),
+    )
+
+
+def win_frame_agg(spark, sf):
+    # running fetch totals vs cap C shape (A10)
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+# -------------------------------------------------------- sorts/limits
+
+def sort_key(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .limit(100)
+    )
+
+
+def limit_global(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    )
+
+
+def topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ------------------------------------------------------------- set ops
+
+def set_union_dedup(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+def set_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+def set_except(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+# ------------------------------------------------------ scalar functions
+
+def str_fns(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_type").cast("long").alias("type_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.trim(F.col("p_name")).alias("tname"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+    )
+
+
+def date_fns(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def math_fns(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ceil("l_quantity").cast("long").alias("cq"),
+        F.floor("l_quantity").cast("long").alias("fq"),
+        F.abs(F.col("l_discount") - 0.05).cast("double").alias("adisc"),
+        F.round(F.log2(F.col("l_extendedprice") + 1), 4).alias("lg"),
+        F.greatest("l_tax", "l_discount").alias("gmax"),
+        F.least("l_tax", "l_discount").alias("gmin"),
+    )
+
+
+def array_fns(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    demb = F.col("embedding").cast("array<double>")
+    return em.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at(demb, 1), 6).alias("e1"),
+        F.round(F.element_at(demb, 64), 6).alias("e64"),
+        F.round(
+            F.aggregate(demb, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("esum"),
+        F.round(
+            F.aggregate(
+                F.zip_with(demb, demb, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("enorm2"),
+    )
+
+
+def map_json_fns(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cond_fns(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.when(F.col("o_orderstatus") == "F", "finished")
+            .when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("other")
+            .alias("status_label"),
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")),
+                F.lit("DEFAULT"),
+            ).alias("prio"),
+        )
+        .groupBy("status_label", "prio")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hash_fns(spark, sf):
+    # engine-pinned hashes (xxhash64 partitioning etc.) — DuckDB's hash
+    # functions differ, so rows-only here; golden values in pytest
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xxh"),
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        F.pmod(F.xxhash64("c_name"), F.lit(64)).alias("shard"),
+    )
+
+
+# ------------------------------------------- streaming-taxonomy surface
+
+def stream_tumbling_1h(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+        .select(F.col("win.start").alias("window_start"), "n", "sum_v")
+    )
+
+
+def stream_sliding(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "n")
+    )
+
+
+def stream_session(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+# ----------------------------------------------------------------- SQL
+
+SQL: dict[str, str | None] = {
+    "scan_parquet": "SELECT count(*) AS n FROM lineitem",
+    "scan_projection_pushdown": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+    ),
+    "filter_pred": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 1000 "
+        "AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    ),
+    "filter_range_ts": (
+        "SELECT count(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "AND ts < TIMESTAMP '2024-01-20 00:00:00'"
+    ),
+    "project_expr": (
+        "SELECT l_orderkey, l_linenumber, "
+        "round(l_extendedprice * (1 - l_discount), 4) AS rev, "
+        "CAST(l_quantity * 2 AS DOUBLE) AS qty2 FROM lineitem"
+    ),
+    "join_inner_equi": (
+        "SELECT r_name, count(*)::BIGINT AS n_cust, "
+        "round(sum(c_acctbal), 4) AS sum_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "join_broadcast": (
+        "SELECT n_name, count(*)::BIGINT AS n_cust FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "join_left_anti": (
+        "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    "join_left_semi": (
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 50000)"
+    ),
+    "join_left_outer": (
+        "SELECT o_orderkey, count(l_orderkey)::BIGINT AS n_items "
+        "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY o_orderkey"
+    ),
+    "join_nested_loop_theta": (
+        "SELECT s_suppkey, n_nationkey FROM supplier, nation "
+        "WHERE s_acctbal > n_nationkey * 100 "
+        "AND s_nationkey <> n_nationkey"
+    ),
+    "join_range_interval": (
+        "SELECT a.user_id AS u, count(*)::BIGINT AS n_pairs "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1 hour' "
+        "GROUP BY a.user_id"
+    ),
+    "agg_hash_counts": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+        "round(avg(l_discount), 6) AS avg_disc, count(*)::BIGINT AS n "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "agg_count_distinct": (
+        "SELECT count(DISTINCT o_custkey)::BIGINT AS n_cust FROM orders"
+    ),
+    "agg_approx_distinct": None,  # approximate -> rows-only
+    "agg_rollup": (
+        "SELECT r_name, n_name, count(*)::BIGINT AS n_cust "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)"
+    ),
+    "agg_cube": (
+        "SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n, "
+        "round(sum(o_totalprice), 2) AS sum_price "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    "agg_first_by_key": (
+        "SELECT c_nationkey, top_cust FROM ("
+        "SELECT c_nationkey, c_custkey AS top_cust, row_number() OVER ("
+        "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey DESC"
+        ") AS rn FROM customer) WHERE rn = 1"
+    ),
+    "win_row_number": (
+        "SELECT o_orderkey, o_custkey, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+        ")::BIGINT AS rn FROM orders"
+    ),
+    "win_rank_dense": (
+        "SELECT c_custkey, "
+        "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)"
+        "::BIGINT AS rnk, "
+        "dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal "
+        "DESC)::BIGINT AS drnk FROM customer"
+    ),
+    "win_lag_lead": (
+        "SELECT event_id, date_diff('second', lag(ts) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id), ts)::BIGINT AS gap_s "
+        "FROM events"
+    ),
+    "win_frame_agg": (
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
+        "AS run_total FROM orders"
+    ),
+    "sort_key": (
+        "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 100"
+    ),
+    "limit_global": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_orderkey LIMIT 50"
+    ),
+    "topk_per_group": (
+        "SELECT o_custkey, o_orderkey, rn::BIGINT AS rn FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+        ") AS rn FROM orders) WHERE rn <= 3"
+    ),
+    "set_union_dedup": (
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 5000 "
+        "UNION SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'"
+    ),
+    "set_intersect": (
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+    ),
+    "set_except": (
+        "SELECT o_custkey FROM orders EXCEPT SELECT o_custkey "
+        "FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    "str_fns": (
+        "SELECT p_partkey, lower(p_name) AS lname, "
+        "length(p_type)::BIGINT AS type_len, "
+        "concat_ws('-', p_brand, p_type) AS brand_type, "
+        "substring(p_name, 1, 5) AS name5, trim(p_name) AS tname, "
+        "lpad(p_brand, 12, '*') AS padded, "
+        "regexp_extract(p_type, '([A-Z]+)', 1) AS first_word, "
+        "starts_with(p_name, 'a') AS starts_a FROM part"
+    ),
+    "date_fns": (
+        "SELECT date_trunc('day', ts)::TIMESTAMP AS day, year(ts)::BIGINT AS y, "
+        "month(ts)::BIGINT AS m, count(*)::BIGINT AS n "
+        "FROM events GROUP BY 1, 2, 3"
+    ),
+    "math_fns": (
+        "SELECT l_orderkey, l_linenumber, ceil(l_quantity)::BIGINT AS cq, "
+        "floor(l_quantity)::BIGINT AS fq, "
+        "CAST(abs(l_discount - 0.05) AS DOUBLE) AS adisc, "
+        "round(log2(l_extendedprice + 1), 4) AS lg, "
+        "greatest(l_tax, l_discount) AS gmax, "
+        "least(l_tax, l_discount) AS gmin FROM lineitem"
+    ),
+    "array_fns": (
+        "SELECT vec_id, len(embedding)::BIGINT AS dim, "
+        "round((embedding::DOUBLE[])[1], 6) AS e1, "
+        "round((embedding::DOUBLE[])[64], 6) AS e64, "
+        "round(list_sum(embedding::DOUBLE[]), 4) AS esum, "
+        "round(list_dot_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[]), 4) AS enorm2 FROM embeddings"
+    ),
+    "map_json_fns": (
+        "SELECT json_extract(props, '$.k')::BIGINT AS k, "
+        "count(*)::BIGINT AS n FROM events GROUP BY 1"
+    ),
+    "cond_fns": (
+        "SELECT CASE WHEN o_orderstatus = 'F' THEN 'finished' "
+        "WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END "
+        "AS status_label, "
+        "coalesce(nullif(o_orderpriority, '3-MEDIUM'), 'DEFAULT') AS prio, "
+        "count(*)::BIGINT AS n FROM orders GROUP BY 1, 2"
+    ),
+    "hash_fns": None,  # Spark-pinned hashes; golden values in pytest
+    "stream_tumbling_1h": (
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v "
+        "FROM events GROUP BY 1"
+    ),
+    "stream_sliding": (
+        "SELECT ws AS window_start, count(*)::BIGINT AS n FROM ("
+        "SELECT time_bucket(INTERVAL '15 minutes', ts) "
+        "- (k * INTERVAL '15 minutes') AS ws "
+        "FROM events, (SELECT unnest(range(4)) AS k)) GROUP BY ws"
+    ),
+    "stream_session": (
+        "WITH g AS (SELECT user_id, ts, event_id, CASE WHEN "
+        "lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w "
+        ">= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS ("
+        "PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
+    ),
+}
+
+FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_parquet": scan_parquet,
+    "scan_projection_pushdown": scan_projection_pushdown,
+    "filter_pred": filter_pred,
+    "filter_range_ts": filter_range_ts,
+    "project_expr": project_expr,
+    "join_inner_equi": join_inner_equi,
+    "join_broadcast": join_broadcast,
+    "join_left_anti": join_left_anti,
+    "join_left_semi": join_left_semi,
+    "join_left_outer": join_left_outer,
+    "join_nested_loop_theta": join_nested_loop_theta,
+    "join_range_interval": join_range_interval,
+    "agg_hash_counts": agg_hash_counts,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_first_by_key": agg_first_by_key,
+    "win_row_number": win_row_number,
+    "win_rank_dense": win_rank_dense,
+    "win_lag_lead": win_lag_lead,
+    "win_frame_agg": win_frame_agg,
+    "sort_key": sort_key,
+    "limit_global": limit_global,
+    "topk_per_group": topk_per_group,
+    "set_union_dedup": set_union_dedup,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "str_fns": str_fns,
+    "date_fns": date_fns,
+    "math_fns": math_fns,
+    "array_fns": array_fns,
+    "map_json_fns": map_json_fns,
+    "cond_fns": cond_fns,
+    "hash_fns": hash_fns,
+    "stream_tumbling_1h": stream_tumbling_1h,
+    "stream_sliding": stream_sliding,
+    "stream_session": stream_session,
+}

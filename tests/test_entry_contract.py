@@ -1,0 +1,86 @@
+"""SURVEY §5.4 — the driver-facing contract (__spark_entry__).
+
+Full DuckDB parity for every key runs via scripts/check_oracle.py (and
+by the driver itself at sf0.01); here we keep a fast representative
+subset green in pytest plus the entry() smoke contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# one representative per operator family (full set: scripts/check_oracle.py)
+SUBSET = [
+    "scan_parquet",
+    "join_inner_equi",
+    "join_left_anti",
+    "agg_hash_counts",
+    "win_row_number",
+    "topk_per_group",
+    "set_except",
+    "map_json_fns",
+    "stream_session",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else round(v, 9)
+        return v
+
+    return sorted(cols), sorted(
+        (tuple(cell(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+def test_every_oracle_key_has_a_query():
+    q = entrymod.queries()
+    for key in entrymod.oracle_sql():
+        assert key in q, f"oracle_sql key {key} missing from queries()"
+
+
+@pytest.mark.parametrize("key", SUBSET)
+def test_query_matches_duckdb(spark, duck, key):
+    sdf = entrymod.queries()[key](spark, SF_DIR)
+    sc, sv = _norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+    res = duck.execute(entrymod.oracle_sql()[key])
+    dc, dv = _norm([d[0] for d in res.description], res.fetchall())
+    assert sc == dc
+    assert sv == dv
+
+
+def test_entry_returns_flagship_images(spark):
+    df = entrymod.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    ]
+    rows = df.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert isinstance(r.image_id, str) and len(r.image_id) == 32
+    assert isinstance(bytes(r.bytes), bytes)
