@@ -88,9 +88,11 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from spider_1_spark.pipeline.queries import PIPE_FNS
     from spider_1_spark.relational.queries import FNS
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(FNS)
+    out.update(PIPE_FNS)
     out["crawl_end_to_end"] = _crawl_end_to_end
     out["crawl_url_canonicalize"] = _crawl_canonicalize
     out["crawl_decode_phash"] = _crawl_decode_phash
@@ -98,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from spider_1_spark.pipeline.queries import PIPE_SQL
     from spider_1_spark.relational.queries import SQL
 
-    return {k: v for k, v in SQL.items() if v is not None}
+    merged = {**SQL, **PIPE_SQL}
+    return {k: v for k, v in merged.items() if v is not None}

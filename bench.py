@@ -1,0 +1,153 @@
+"""Bench harness — BASELINE.md protocol, driver-run per round.
+
+Primary metric (BASELINE.json:2): frontier-processed URLs/sec through
+the full distributed pipeline (schedule + politeness + fetch + dedup +
+image decode) on a deterministic zipf-skewed synthetic frontier.
+Relational headline queries are timed at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "urls/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...extras}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_N  frontier rows (default 1_000_000)
+  SPARK_GRAFT_BENCH_HOSTS  host universe (default 10_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
+
+RELATIONAL_KEYS = [
+    "agg_hash_counts",
+    "join_inner_equi",
+    "win_row_number",
+    "topk_per_group",
+    "join_range_interval",
+    "stream_session",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spider1-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def crawl_bench(spark, n_rows: int, n_hosts: int, warm: bool = False) -> dict:
+    """Drain a zipf frontier in ~3 politeness waves; URLs/sec overall."""
+    from spider_1_spark.engine import Policy, SparkCrawler
+    from spider_1_spark.fixtures.frontier_gen import write_frontier
+    from spider_1_spark.fixtures.webgen import SyntheticWeb
+
+    # B sized so the zipf hot host (~19% of N) drains in ~3 waves
+    wave_budget = max(16, int(0.19 * n_rows / 3))
+    policy = Policy(
+        max_depth=0,  # frontier processing: anchors dropped, images kept
+        per_host_wave_budget=wave_budget,
+        per_host_total_cap=1 << 40,
+        global_page_budget=1 << 40,
+    )
+    web = SyntheticWeb(n_hosts=n_hosts)
+    tmp = tempfile.mkdtemp(prefix="spider1_bench_")
+    try:
+        fpath = os.path.join(tmp, "frontier")
+        write_frontier(spark, fpath, n_rows, n_hosts)  # excluded from timing
+        seed_frame = spark.read.parquet(fpath)
+        crawler = SparkCrawler(
+            spark, policy, web, os.path.join(tmp, "state")
+        )
+        t0 = time.time()
+        art = crawler.run_frontier(seed_frame)
+        elapsed = time.time() - t0
+        c = art.counters
+        evaluated = (
+            c["fetched"] + c["deferred"] + c["dropped"] + c["robots_blocked"]
+        )
+        n_images = art.images.count() if not warm else 0
+        return {
+            "elapsed_s": round(elapsed, 2),
+            "urls_per_sec": round(evaluated / elapsed, 1),
+            "frontier_rows": n_rows,
+            "evaluated": evaluated,
+            "n_waves": art.n_waves,
+            "counters": c,
+            "images_rows": n_images,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def relational_bench(spark, sf_dir: str) -> dict:
+    from spider_1_spark.relational.queries import FNS
+
+    times = {}
+    for key in RELATIONAL_KEYS:
+        t0 = time.time()
+        FNS[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[key] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_N", "1000000"))
+    n_hosts = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "10000"))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # warm-up (excluded per BASELINE.md protocol): JVM/codegen/Arrow
+        crawl_bench(spark, 20_000, 200, warm=True)
+
+        crawl = crawl_bench(spark, n_rows, n_hosts)
+        rel = relational_bench(spark, sf_dir)
+
+        queries = {"crawl_frontier": crawl["elapsed_s"], **rel}
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out = {
+            "metric": "frontier_urls_per_sec",
+            "value": crawl["urls_per_sec"],
+            "unit": "urls/sec",
+            "queries": queries,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cpus": cpus,
+            "frontier_rows": crawl["frontier_rows"],
+            "evaluated": crawl["evaluated"],
+            "n_waves": crawl["n_waves"],
+            "counters": crawl["counters"],
+            "images_rows": crawl["images_rows"],
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""spark-submit entry point for the distributed crawl (SURVEY §3 EP1).
+
+    spark-submit --master local[32] \
+        --py-files dist/spider_1_spark.zip \
+        scripts/submit_crawl.py \
+        --frontier /path/frontier.parquet --state-root /tmp/crawl_state \
+        --hosts 10000 --wave-budget 64 --max-depth 0
+
+Resumable: re-running with the same --state-root continues from the
+last committed wave (SPEC-12).  The synthetic web store stands in for
+the fetch layer; a requests-backed store plugs into the same
+``web`` interface on a networked cluster (SURVEY §7 "not built").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--frontier", required=True, help="seed frontier parquet "
+                   "(seed_rank long, raw_url string)")
+    p.add_argument("--state-root", required=True)
+    p.add_argument("--hosts", type=int, default=10_000)
+    p.add_argument("--max-depth", type=int, default=0)
+    p.add_argument("--wave-budget", type=int, default=64)
+    p.add_argument("--host-cap", type=int, default=1 << 40)
+    p.add_argument("--global-budget", type=int, default=1 << 40)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("spider1-crawl").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from spider_1_spark.engine import Policy, SparkCrawler
+    from spider_1_spark.fixtures.webgen import SyntheticWeb
+
+    policy = Policy(
+        max_depth=args.max_depth,
+        per_host_wave_budget=args.wave_budget,
+        per_host_total_cap=args.host_cap,
+        global_page_budget=args.global_budget,
+    )
+    crawler = SparkCrawler(
+        spark, policy, SyntheticWeb(args.hosts), args.state_root
+    )
+    t0 = time.time()
+    if args.resume:
+        art = crawler.resume()
+    else:
+        art = crawler.run_frontier(spark.read.parquet(args.frontier))
+    out = {
+        "elapsed_s": round(time.time() - t0, 2),
+        "n_waves": art.n_waves,
+        "counters": art.counters,
+        "images_rows": art.images.count(),
+        "crawl_log_rows": art.crawl_log.count(),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,6 +80,9 @@ class SparkCrawler:
         root: str,
         n_salts: int = 8,
         rank_partitions: int | None = None,
+        use_bloom: bool = True,
+        bloom_shards: int = 32,
+        bloom_bits: int = 1 << 22,
     ):
         self.spark = spark
         self.policy = policy
@@ -88,6 +91,10 @@ class SparkCrawler:
         self.store = ParquetSnapshotStore(spark, root)
         self.n_salts = n_salts
         self.rank_partitions = rank_partitions
+        self.use_bloom = use_bloom
+        from spider_1_spark.engine.bloom import BloomStore
+
+        self.bloom = BloomStore(root, bloom_shards, bloom_bits)
 
     # ------------------------------------------------------------ run
 
@@ -119,6 +126,11 @@ class SparkCrawler:
         )
         st.write_version("seen", 0, seen0)
         st.write_version("hosts", 0, self.spark.createDataFrame([], HOSTS_SCHEMA))
+        if self.use_bloom:
+            from spider_1_spark.engine import bloom as bloom_mod
+
+            self.bloom.prune(-1)
+            bloom_mod.update(seen0.select("url"), self.bloom, -1, 0)
         counters = {k: 0 for k in COUNTER_NAMES}
         counters["deduped"] = seed_deduped
         # empty seed frontier => zero waves, like the oracle's
@@ -142,6 +154,8 @@ class SparkCrawler:
         if manifest is None:
             raise ValueError(f"no manifest at {self.store.root}")
         st.cleanup()
+        if self.use_bloom:
+            self.bloom.prune(manifest["versions"]["seen"])
         return self._loop(manifest, max_waves)
 
     # ----------------------------------------------------------- loop
@@ -162,7 +176,7 @@ class SparkCrawler:
         v = manifest["versions"]
         return CrawlArtifacts(
             crawl_log=self.store.read_waves("crawl_log", wave),
-            seen=self.store.read_version("seen", v["seen"]),
+            seen=self.store.read_delta_union("seen", v["seen"]),
             images=self.store.read_waves("images", wave),
             metrics=self.store.read_waves("metrics", wave),
             counters=dict(manifest["counters"]),
@@ -170,6 +184,17 @@ class SparkCrawler:
         )
 
     # ----------------------------------------------------------- wave
+
+    def _prof(self, label: str) -> None:
+        """SPIDER1_PROFILE=1: per-stage wall-clock for wave tuning."""
+        import os
+        import time
+
+        if os.environ.get("SPIDER1_PROFILE"):
+            now = time.time()
+            prev = getattr(self, "_prof_t", now)
+            print(f"[wave-prof] {label}: +{now - prev:.2f}s", flush=True)
+            self._prof_t = now
 
     def _wave(self, manifest: dict) -> dict:
         spark, st, pol = self.spark, self.store, self.policy
@@ -179,9 +204,10 @@ class SparkCrawler:
         counters = dict(manifest["counters"])
         metrics: list[tuple] = []  # (stage, pid, counter_name, n)
 
+        self._prof(f"w{wave} start")
         frontier = st.read_version("frontier", v["frontier"])
         hosts = st.read_version("hosts", v["hosts"])
-        seen = st.read_version("seen", v["seen"])
+        seen = st.read_delta_union("seen", v["seen"])  # append-only deltas
 
         # --- A11/SPEC-6: robots for first-appearance hosts -----------
         wave_hosts = frontier.select("host", "host_hash").distinct()
@@ -193,12 +219,20 @@ class SparkCrawler:
         hosts_wave = hosts_wave.persist()  # robots fetch is deterministic
 
         # --- robots gate + t0 join ----------------------------------
+        # allow-all hosts (rules_json "[]") short-circuit JVM-side; the
+        # rule-match UDF output is only consulted for hosts with real
+        # rules.  (A two-branch union was tried and reverted: it scans
+        # the frontier twice, which costs more than the vectorized UDF.)
+        no_rules = F.col("rules_json").isNull() | (F.col("rules_json") == "[]")
         fr = frontier.join(
             F.broadcast(hosts_wave.select("host", "rules_json", "fetch_total")),
             "host",
             "left",
         ).withColumn(
-            "allowed", ops.robots_allowed_udf(F.col("url"), F.col("rules_json"))
+            "allowed",
+            F.when(no_rules, F.lit(True)).otherwise(
+                ops.robots_allowed_udf(F.col("url"), F.col("rules_json"))
+            ),
         )
         fr = fr.withColumn("t0", F.coalesce(F.col("fetch_total"), F.lit(0)))
         fr = fr.persist()
@@ -207,6 +241,7 @@ class SparkCrawler:
         for pid, n in self._pcounts(blocked):
             metrics.append(("robots", pid, "robots_blocked", n))
         counters["robots_blocked"] += sum(n for _, n in self._pcounts_cache)
+        self._prof("robots-gate")
 
         allowed = fr.filter(F.col("allowed"))
 
@@ -234,6 +269,7 @@ class SparkCrawler:
             )
         else:
             kstar = None
+        self._prof("schedule+rank")
 
         # --- classify every non-fetched URL (closed form, see module
         #     docstring) ---------------------------------------------
@@ -280,19 +316,32 @@ class SparkCrawler:
         ):
             metrics.append(("gate", int(r["partition_id"]), r["status"], int(r["n"])))
             counters[r["status"]] += int(r["n"])
+        self._prof("gate-classify")
         deferred = rest.filter(F.col("status") == "deferred")
 
-        # --- A12/A13: fetch + extract refs ---------------------------
-        refs = ops.fetch_extract(fetchset, self.web_b)
-        refs = refs.withColumn(
-            "url", ops.canonicalize_base_udf(F.col("raw_url"), F.col("parent_url"))
-        ).filter(F.col("url").isNotNull())
+        # --- A12/A13(+A2+A6): fused fetch+extract+canonicalize+bloom -
+        refs = ops.fetch_extract(
+            fetchset,
+            self.web_b,
+            bloom=self.bloom if self.use_bloom else None,
+            bloom_version=v["seen"],
+        )
         refs = refs.persist()
 
-        # seen gate (A7 exact anti-join; duplicates per occurrence)
+        # seen gate (A7): ONLY maybe-seen rows are joined against the
+        # seen table (bloom-negative rows are definitely new — zero
+        # false negatives by construction); a single left join serves
+        # both the dup counter and the new-ref filter.
         seen_urls = seen.select("url")
-        dup_seen = refs.join(seen_urls, "url", "left_semi")
-        new_refs = refs.join(seen_urls, "url", "left_anti")
+        maybe = refs.filter(F.col("maybe_seen")).drop("maybe_seen")
+        sure_new = refs.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        marked = maybe.join(
+            seen_urls.withColumn("_seen", F.lit(True)), "url", "left"
+        ).persist()
+        dup_seen = marked.filter(F.col("_seen").isNotNull())
+        new_refs = sure_new.unionByName(
+            marked.filter(F.col("_seen").isNull()).drop("_seen")
+        )
 
         # beyond-max_depth anchors vanish silently BEFORE intra-wave
         # dedup (oracle inserts nothing into seen for them — SPEC-7)
@@ -302,23 +351,38 @@ class SparkCrawler:
                 & (F.col("parent_depth") + 1 > F.lit(pol.max_depth))
             )
         )
-        # A8 intra-wave dedup: first discovery by (seq, pos) wins
-        w_url = Window.partitionBy("url").orderBy("seq", "pos")
-        new_refs = new_refs.withColumn("_rn", F.row_number().over(w_url))
-        new_refs = new_refs.persist()
-        dup_intra = new_refs.filter(F.col("_rn") > 1)
-        # one job covering both dedup sources (already-seen + intra-wave)
-        pid = F.spark_partition_id().alias("partition_id")
+        # A8 intra-wave dedup: first discovery by (seq, pos) wins.
+        # Hash aggregate (min_by) instead of a sort window: partial
+        # map-side combine collapses duplicate URLs before the shuffle
+        # — the sort-based row_number variant shuffled every ref.
+        grouped = new_refs.groupBy("url").agg(
+            F.min_by(
+                F.struct("parent_depth", "seq", "pos", "kind", "caption"),
+                F.struct("seq", "pos"),
+            ).alias("first"),
+            F.count("*").alias("n_occ"),
+        )
+        grouped = grouped.persist()
+        pidc = F.spark_partition_id().alias("partition_id")
+        # one job: already-seen dups + intra-wave dups per partition
         for r in (
-            dup_seen.select(pid)
-            .unionAll(dup_intra.select(pid))
+            dup_seen.groupBy(pidc)
+            .agg(F.count("*").cast("long").alias("n"))
+            .unionAll(
+                grouped.groupBy(pidc).agg(
+                    F.sum(F.col("n_occ") - 1).alias("n")
+                )
+            )
             .groupBy("partition_id")
-            .agg(F.count("*").alias("n"))
+            .agg(F.sum("n").alias("n"))
             .collect()
         ):
-            metrics.append(("dedup", int(r["partition_id"]), "deduped", int(r["n"])))
-            counters["deduped"] += int(r["n"])
-        fresh = new_refs.filter(F.col("_rn") == 1).drop("_rn")
+            n = int(r["n"] or 0)
+            if n:
+                metrics.append(("dedup", int(r["partition_id"]), "deduped", n))
+                counters["deduped"] += n
+        self._prof("dedup")
+        fresh = grouped.select("url", "first.*")
         fresh = ops.with_host(fresh).persist()
 
         # --- A14/A15: decode new images ------------------------------
@@ -328,6 +392,7 @@ class SparkCrawler:
         for pid, n in self._pcounts(failed):
             metrics.append(("decode", pid, "decode_failed", n))
         counters["decode_failed"] += sum(n for _, n in self._pcounts_cache)
+        self._prof("decode")
         images_out = decoded.filter(F.col("ok")).select(
             "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
         )
@@ -347,7 +412,9 @@ class SparkCrawler:
                 max(1, self._shuffle_partitions()), F.col("seq")
             ),
         )
+        self._prof("write-crawl-log")
         st.write_wave("images", wave, images_out)
+        self._prof("write-images")
         st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
 
         # next frontier = fresh anchors at depth+1  ∪  deferred
@@ -386,6 +453,7 @@ class SparkCrawler:
             ),
         )
 
+        self._prof("write-frontier")
         seen_new = fresh.select(
             "url",
             "host_hash",
@@ -394,8 +462,19 @@ class SparkCrawler:
             F.col("seq").alias("parent_rank"),
             F.col("pos").alias("link_pos"),
         )
-        st.write_version("seen", v["seen"] + 1, seen.unionByName(seen_new))
+        # delta write: only this wave's new URLs (append-only table)
+        st.write_version("seen", v["seen"] + 1, seen_new)
+        if self.use_bloom:
+            from spider_1_spark.engine import bloom as bloom_mod
 
+            bloom_mod.update(
+                st.read_version("seen", v["seen"] + 1).select("url"),
+                self.bloom,
+                v["seen"],
+                v["seen"] + 1,
+            )
+
+        self._prof("write-seen+bloom")
         hosts_next = (
             hosts_all.join(f_h, "host", "left")
             .withColumn(
@@ -408,15 +487,20 @@ class SparkCrawler:
         )
         st.write_version("hosts", v["hosts"] + 1, hosts_next)
 
+        self._prof("write-hosts")
         # frontier-empty check against the COMMITTED parquet (cheap,
         # also cuts lineage for the next wave)
         frontier_empty = (
             st.read_version("frontier", v["frontier"] + 1).limit(1).count() == 0
         )
+        self._prof("frontier-empty-check")
         global_fetched = manifest["global_fetched"] + n_fetched
         done = frontier_empty or global_fetched >= pol.global_page_budget
 
-        for df in (fr, hosts_wave, ranked, fetchset, rest, refs, new_refs, fresh, decoded):
+        for df in (
+            fr, hosts_wave, fetchset, rest, refs, marked, grouped, fresh,
+            decoded, ranked._rank_source,
+        ):
             df.unpersist()
 
         new_manifest = {

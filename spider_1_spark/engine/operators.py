@@ -186,16 +186,24 @@ def candidate_set(allowed: DataFrame, policy, n_salts: int) -> DataFrame:
         F.greatest(F.lit(0), F.least(F.lit(B), F.lit(C) - F.col("t0"))),
     )
     df = df.filter(F.col("cap_h") > 0)
-    df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
-    w_salt = Window.partitionBy("host", "salt").orderBy(*KEY_COLS)
-    surv = df.withColumn("_sr", F.row_number().over(w_salt)).filter(
-        F.col("_sr") <= F.col("cap_h")
-    )
+    # The salt prefilter pays off when B is small relative to a hot
+    # host's frontier (the real-politeness case: it caps the exact
+    # window's input at n_salts*B rows/host).  For huge budgets the
+    # survivors ≈ everything, so the prefilter would just sort the
+    # frontier twice — skip it.
+    if B <= 4096:
+        df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        w_salt = Window.partitionBy("host", "salt").orderBy(*KEY_COLS)
+        df = (
+            df.withColumn("_sr", F.row_number().over(w_salt))
+            .filter(F.col("_sr") <= F.col("cap_h"))
+            .drop("_sr", "salt")
+        )
     w_host = Window.partitionBy("host").orderBy(*KEY_COLS)
     return (
-        surv.withColumn("_hr", F.row_number().over(w_host))
+        df.withColumn("_hr", F.row_number().over(w_host))
         .filter(F.col("_hr") <= F.col("cap_h"))
-        .drop("_sr", "_hr", "salt")
+        .drop("_hr")
     )
 
 
@@ -252,28 +260,38 @@ def with_global_rank(
             yield pdf
 
     ranked = part.mapInPandas(add_rank, out_schema)
+    ranked._rank_source = part  # handle for the caller to unpersist
     return ranked
 
 
 # ------------------------------------------------------------------ A12+A13
 
 REF_SCHEMA = (
-    "parent_url string, parent_depth int, seq long, "
-    "pos int, kind string, raw_url string, caption string"
+    "parent_depth int, seq long, pos int, kind string, url string, "
+    "caption string, maybe_seen boolean"
 )
 
 
-def fetch_extract(fetchset: DataFrame, web_b) -> DataFrame:
-    """A12+A13: batched fetch + document-order ref extraction (SPEC-7).
+def fetch_extract(fetchset: DataFrame, web_b, bloom=None,
+                  bloom_version: int = -1) -> DataFrame:
+    """A12+A13(+A2+A6): batched fetch + document-order ref extraction
+    (SPEC-7), with per-ref RFC 3986 canonicalization (SPEC-2) and the
+    bloom seen-probe fused into the SAME Arrow stage.
 
-    One Arrow-batched ``mapInPandas`` stage; emits one row per
-    ``<a href>`` / ``<img src>`` ref with its 0-based document position
-    (= SPEC-3 link_pos) and the verbatim ``alt`` caption.  Pages that
-    404 (``html() is None``) emit nothing.
+    One Python crossing instead of three (fetch → canonicalize UDF →
+    probe) — at millions of refs per wave the extra Arrow round-trips
+    and their shuffles were the wave's dominant cost.  Emits one row
+    per ref with canonical URL, 0-based document position (= SPEC-3
+    link_pos), verbatim ``alt`` caption, and ``maybe_seen`` from the
+    bloom shards (always True when bloom is disabled: every ref then
+    takes the exact-join path).  Pages that 404 emit nothing;
+    non-http(s) refs are dropped here (canonicalize -> None, SPEC-7).
     """
+    from spider_1_spark.engine import bloom as bloom_mod
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         web = web_b.value
+        shard_cache: dict[int, object] = {}
         for pdf in batches:
             rows = []
             for url, depth, seq in zip(pdf["url"], pdf["depth"], pdf["seq"]):
@@ -281,20 +299,25 @@ def fetch_extract(fetchset: DataFrame, web_b) -> DataFrame:
                 if html is None:
                     continue
                 for pos, kind, raw, cap in extract_refs(html):
-                    rows.append((url, int(depth), int(seq), pos, kind, raw, cap))
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "parent_url",
-                        "parent_depth",
-                        "seq",
-                        "pos",
-                        "kind",
-                        "raw_url",
-                        "caption",
-                    ],
+                    canon = canonicalize(raw, base=url)
+                    if canon is None:
+                        continue
+                    rows.append((int(depth), int(seq), pos, kind, canon, cap))
+            if not rows:
+                continue
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "parent_depth", "seq", "pos", "kind", "url", "caption",
+                ],
+            )
+            if bloom is None:
+                out["maybe_seen"] = True
+            else:
+                out["maybe_seen"] = bloom_mod.probe_pandas(
+                    out["url"], bloom, bloom_version, shard_cache
                 )
+            yield out
 
     return fetchset.select("url", "depth", "seq").mapInPandas(gen, REF_SCHEMA)
 

@@ -182,6 +182,26 @@ class ParquetSnapshotStore:
     def read_version(self, name: str, version: int) -> DataFrame:
         return self._read(self.version_path(name, version), SCHEMAS[name])
 
+    def read_delta_union(self, name: str, upto_version: int) -> DataFrame:
+        """Union of v=0..upto_version for DELTA-stored tables.
+
+        The ``seen`` table is append-only by nature (SPEC-4: URLs are
+        only ever added), so each version directory holds only that
+        wave's delta — the full set is the union.  This keeps the
+        per-wave write O(new URLs) instead of O(total seen): rewriting
+        the whole seen set every wave is O(W²) I/O and would be fatal
+        at the 10^10-URL design point (SURVEY §6).  Maps directly onto
+        Iceberg appends on a real cluster (§1.4).
+        """
+        paths = [
+            self.version_path(name, v)
+            for v in range(upto_version + 1)
+            if self._has_parquet(self.version_path(name, v))
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], SCHEMAS[name])
+        return self.spark.read.schema(SCHEMAS[name]).parquet(*paths)
+
     # ---------------------------------------------------- append tables
 
     def wave_path(self, name: str, wave: int) -> str:

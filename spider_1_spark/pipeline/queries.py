@@ -1,0 +1,628 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+The data-curation surface a 100 TB crawl corpus needs (task brief §
+"beyond the reference's own operators"): deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+search (brute-force + LSH-bucketed ANN), text analysis (language-ID,
+quality scoring, token counting, winnowing fingerprints), and the
+multimodal binary-column plumbing.
+
+Design rules (same as the crawl engine):
+  * every Python crossing is Arrow-vectorized (pandas_udf /
+    mapInPandas) — no per-row Python UDFs;
+  * all hashing is seeded + process-stable (pipeline/textops.py), so
+    results are identical at any parallelism — LSH bucket joins
+    produce the same pairs on 4 cores or 4000 executors;
+  * blocked self-joins (LSH bands / simhash blocks / label blocking)
+    instead of O(n²) cross-joins — the only shapes that survive 10^9
+    documents; brute-force variants exist as small-side baselines.
+
+SQL-checkable ops are in PIPE_SQL (DuckDB oracle); the rest are
+rows-only for the driver with full pytest oracles in
+tests/test_pipeline.py (pure-python reference via the SAME textops
+primitives + hand-computed small cases).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spider_1_spark.pipeline import textops
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ dedup: exact
+
+def dedup_exact(spark, sf):
+    """Exact dedup by full text: first doc_id wins per group."""
+    d = _docs(spark, sf)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+def dedup_exact_hash(spark, sf):
+    """Scale path: group by sha256(text) — the shuffle key is 32 bytes
+    instead of the document body (what you actually do at 100 TB)."""
+    d = _docs(spark, sf)
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------- dedup: minhash + LSH
+
+SIG_N, SIG_BANDS = 64, 16
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> minhash signature + shingle set (Arrow-batched)."""
+    a, b = textops.minhash_params(SIG_N)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs, shs = [], []
+            for text in pdf["text"]:
+                sh = textops.shingle_hashes(text)
+                sig = textops.minhash_signature(sh, a, b)
+                sigs.append([int(x) for x in sig])  # < 2^61: int64-safe
+                shs.append([int(x) - (1 << 64 if x >= 1 << 63 else 0)
+                            for x in sh])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": sigs, "shingles": shs}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, sig array<long>, shingles array<long>"
+    )
+
+
+def _lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+    """Band-bucket self-join: pairs sharing >= 1 LSH band."""
+
+    def bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                for band_idx, bh in enumerate(
+                    textops.band_hashes(np.array(sig, dtype=np.uint64),
+                                        SIG_BANDS)
+                ):
+                    rows.append(
+                        (doc_id, band_idx,
+                         bh - (1 << 64 if bh >= 1 << 63 else 0))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "band_idx", "band_hash"]
+                )
+
+    b = sig_df.mapInPandas(
+        bands, "doc_id long, band_idx int, band_hash long"
+    )
+    lhs = b.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    rhs = b.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        lhs.join(rhs, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash(64) + 16-band LSH near-dup pairs, est. Jaccard >= 0.5.
+
+    shingle -> minhash -> band -> bucket-join; the signature-agreement
+    estimate avoids re-reading document bodies for the verify step.
+    """
+    sig = minhash_signatures(_docs(spark, sf)).persist()
+    pairs = _lsh_candidate_pairs(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b",
+                lambda x, y: F.when(x == y, 1.0).otherwise(0.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / SIG_N
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf):
+    """LSH candidates verified with EXACT shingle-set Jaccard >= 0.3
+    (the two-phase dedup: cheap recall stage + exact precision stage)."""
+    sig = minhash_signatures(_docs(spark, sf)).persist()
+    pairs = _lsh_candidate_pairs(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def jac_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                textops.jaccard(
+                    np.sort(np.array(x, dtype=np.int64).astype(np.uint64)),
+                    np.sort(np.array(y, dtype=np.int64).astype(np.uint64)),
+                )
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return (
+        joined.withColumn("jaccard", F.round(jac_udf("sh_a", "sh_b"), 4))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------- dedup: simhash
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([textops.simhash64(t) for t in texts], dtype="Int64")
+
+
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs with Hamming distance <= 6.
+
+    Pigeonhole blocking: 4 x 16-bit blocks — pairs within distance 6
+    CAN miss all blocks only if >= 4 blocks differ, i.e. guaranteed
+    recall for distance <= 3; distance 4..6 found with high
+    probability.  Exact verify via bit_count(xor)."""
+    d = _docs(spark, sf).select(
+        "doc_id", simhash_udf(F.col("text")).alias("sh")
+    )
+    blocks = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "sh", "blk.block_idx", "blk.block_val")
+    lhs = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        "block_idx", "block_val",
+    )
+    rhs = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        "block_idx", "block_val",
+    )
+    return (
+        lhs.join(rhs, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ------------------------------------------- dedup: embedding cosine pairs
+
+def _cosine(a_col: str, b_col: str):
+    da = F.col(a_col).cast("array<double>")
+    db = F.col(b_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0),
+                    lambda a, x: a + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.zip_with(db, db, lambda x, y: x * y), F.lit(0.0),
+                    lambda a, x: a + x)
+    )
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup pairs: same-label blocking, cosine >= 0.8.
+
+    Label blocking keeps the self-join O(sum of block²) instead of
+    O(n²) — at 10^9 rows the block key becomes an ANN bucket id."""
+    e = _emb(spark, sf)
+    a = e.select(F.col("vec_id").alias("id_a"), "label",
+                 F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label",
+                 F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(_cosine("emb_a", "emb_b"), 4))
+        .filter(F.col("sim") >= 0.8)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ------------------------------------------------------- similarity search
+
+ANN_K, ANN_NQ = 10, 5
+
+
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k: the exact baseline every ANN variant
+    is measured against.  Query side is broadcast (tiny)."""
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("n_emb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_cosine("q_emb", "n_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"),
+                "rank")
+    )
+
+
+N_PLANES = 12
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES, seed: int = 11):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def ann_lsh_bucketed(spark, sf):
+    """Scale-path ANN: random-hyperplane LSH buckets + in-bucket top-k.
+
+    Sign bits of 12 fixed hyperplane projections -> bucket id; the
+    top-k search shuffles only same-bucket rows (O(n) instead of the
+    brute-force O(n·q) scan).  Recall vs the exact baseline is
+    measured in tests/test_pipeline.py."""
+    planes = _hyperplanes()
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (mat @ planes.T) > 0
+        out = np.zeros(len(embs), dtype=np.int32)
+        for i in range(planes.shape[0]):
+            out |= bits[:, i].astype(np.int32) << i
+        return pd.Series(out)
+
+    e = _emb(spark, sf).withColumn("bucket", bucket_udf("embedding"))
+    q = e.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("n_emb"), "bucket")
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_cosine("q_emb", "n_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"),
+                "rank")
+    )
+
+
+# ----------------------------------------------------------- text analysis
+
+def text_tokens(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish lexer tokens."""
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0))
+        .cast("long")
+        .alias("n_lex"),
+    )
+
+
+def text_quality(spark, sf):
+    """Quality scoring: length / punctuation / stopword signals plus a
+    keep/drop flag — the standard pre-training corpus filter shape."""
+    d = _docs(spark, sf)
+    words = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast(
+        "double"
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(the|and|of|to|a|in|is)\b"), 0
+        )
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        words.cast("long").alias("n_words"),
+        F.round(n_punct / F.length("text"), 4).alias("punct_ratio"),
+        F.round(n_stop / words, 4).alias("stop_ratio"),
+        ((words >= 5) & (words <= 2000) & (n_punct / F.length("text") < 0.2))
+        .alias("keep"),
+    )
+
+
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|a|in|is)\b",
+    "es": r"\b(el|la|de|que|los|una)\b",
+    "de": r"\b(der|die|und|das|ein|nicht)\b",
+    "fr": r"\b(le|la|les|et|une|dans)\b",
+    "zh": r"\b(de|shi|bu|le|zai|you)\b",
+}
+
+
+def text_langid(spark, sf):
+    """Marker-token language ID (n-gram heuristic): per-language
+    stopword hit counts, argmax with a pinned tie order; reported as a
+    (labelled_lang, predicted) confusion rollup."""
+    d = _docs(spark, sf)
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
+        )
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    best = F.greatest(*[scores[lg] for lg in textops.LANG_ORDER])
+    pred = F.when(best <= 0, "und")
+    for lg in textops.LANG_ORDER:  # pinned order breaks ties
+        pred = pred.when(scores[lg] == best, lg)
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def doc_fingerprint(spark, sf):
+    """Winnowing fingerprints (rolling k-gram hash, min-in-window):
+    exploded (doc_id, fp) rows — overlap of fp sets across docs is the
+    plagiarism/near-dup signal at corpus scale."""
+    d = _docs(spark, sf)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for fp in textops.winnow_fingerprints(text):
+                    ids.append(doc_id)
+                    fps.append(fp - (1 << 64 if fp >= 1 << 63 else 0))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return d.select("doc_id", "text").mapInPandas(gen, "doc_id long, fp long")
+
+
+# -------------------------------------------------------------- multimodal
+
+MM_SCHEMA = (
+    "image_id string, status string, w int, h int, fmt string, "
+    "phash long, thumb_mean double"
+)
+
+
+def multimodal_decode(spark, sf):
+    """Multimodal binary-column plumbing: opaque image bytes + typed
+    metadata -> decode / feature-extract / thumbnail, Arrow-batched.
+
+    The synthetic formats (ppm/png/qlossy) decode for real; codecs the
+    sandbox lacks (jpeg — no Pillow/cv2, SURVEY §0.5) are STUBBED
+    behind a clearly-marked unsupported_codec status so the Spark-side
+    schema/partitioning/batching is real and tested."""
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.phash import dhash64
+    from spider_1_spark.fixtures.webgen import SyntheticWeb
+    from spider_1_spark.reference_model.spider1_ref import image_id_of
+
+    web = SyntheticWeb(4)
+    urls = [
+        f"http://h{k}.example.test/img/{m}.{fmt}"
+        for k in range(2)
+        for m in range(10)
+        for fmt in ("ppm", "png", "qlossy")
+    ]
+    rows = [(image_id_of(u), web.image(u), "auto") for u in urls]
+    rows.append(("stub-jpeg-row", b"\xff\xd8\xff\xe0FAKEJPEG", "jpeg"))
+    src = spark.createDataFrame(
+        rows, "image_id string, bytes binary, declared_fmt string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for image_id, data, declared in zip(
+                pdf["image_id"], pdf["bytes"], pdf["declared_fmt"]
+            ):
+                if declared == "jpeg":
+                    # STUB: real deployment plugs Pillow/libjpeg here
+                    out.append((image_id, "unsupported_codec", None, None,
+                                "jpeg", None, None))
+                    continue
+                try:
+                    rgb, fmt = decode(bytes(data))
+                except DecodeError:
+                    out.append((image_id, "decode_failed", None, None,
+                                None, None, None))
+                    continue
+                h, w = rgb.shape[:2]
+                thumb = rgb[: h - h % 8, : w - w % 8].reshape(
+                    8, (h - h % 8) // 8, 8, (w - w % 8) // 8, 3
+                ).mean(axis=(1, 3))  # 8x8 block-mean thumbnail
+                out.append(
+                    (image_id, "ok", w, h, fmt, dhash64(rgb),
+                     round(float(thumb.mean()), 4))
+                )
+            cols = list(zip(*out))
+            yield pd.DataFrame(
+                {
+                    "image_id": cols[0],
+                    "status": cols[1],
+                    "w": pd.array(cols[2], dtype="Int32"),
+                    "h": pd.array(cols[3], dtype="Int32"),
+                    "fmt": cols[4],
+                    "phash": pd.array(cols[5], dtype="Int64"),
+                    "thumb_mean": pd.array(cols[6], dtype="Float64"),
+                }
+            )
+
+    return src.repartition(4, "image_id").mapInPandas(gen, MM_SCHEMA)
+
+
+# ------------------------------------------------------------- registries
+
+PIPE_FNS = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_hash": dedup_exact_hash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+PIPE_SQL: dict[str, str | None] = {
+    "dedup_exact": (
+        "SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies "
+        "FROM documents GROUP BY text"
+    ),
+    "dedup_exact_hash": (
+        "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, "
+        "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
+    ),
+    "dedup_embedding_cosine": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]) / (sqrt(list_dot_product("
+        "a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]))), 4) AS sim "
+        "FROM embeddings a JOIN embeddings b ON a.label = b.label "
+        "AND a.vec_id < b.vec_id "
+        "WHERE round(list_dot_product(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]) / (sqrt(list_dot_product("
+        "a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[]))), 4) >= 0.8"
+    ),
+    "ann_cosine_topk": (
+        "WITH scored AS (SELECT q.vec_id AS query_id, "
+        "c.vec_id AS neighbor_id, "
+        "round(list_dot_product(q.embedding::DOUBLE[], "
+        "c.embedding::DOUBLE[]) / (sqrt(list_dot_product("
+        "q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(c.embedding::DOUBLE[], "
+        "c.embedding::DOUBLE[]))), 6) AS sim "
+        "FROM embeddings q JOIN embeddings c "
+        "ON q.vec_id < 5 AND c.vec_id <> q.vec_id) "
+        "SELECT query_id, neighbor_id, round(sim, 4) AS sim, "
+        "rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY sim DESC, neighbor_id)::BIGINT AS rank FROM scored) "
+        "WHERE rank <= 10"
+    ),
+    "text_tokens": (
+        r"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))"
+        r"::BIGINT AS n_ws, len(regexp_extract_all(text, "
+        r"'\w+|[^\w\s]'))::BIGINT AS n_lex FROM documents"
+    ),
+    "text_quality": (
+        r"SELECT doc_id, length(text)::BIGINT AS n_chars_m, "
+        r"len(regexp_split_to_array(trim(text), '\s+'))::BIGINT "
+        r"AS n_words, "
+        r"round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) "
+        r"/ length(text)::DOUBLE, 4) AS punct_ratio, "
+        r"round(len(regexp_extract_all(lower(text), "
+        r"'\b(the|and|of|to|a|in|is)\b')) / "
+        r"len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE, 4) "
+        r"AS stop_ratio, "
+        r"(len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND "
+        r"2000 AND length(regexp_replace(text, '[^.!?,;:]', '', 'g')) "
+        r"/ length(text)::DOUBLE < 0.2) AS keep FROM documents"
+    ),
+    "text_langid": (
+        r"WITH s AS (SELECT lang, "
+        r"len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is)\b')) AS s_en, "
+        r"len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una)\b')) AS s_es, "
+        r"len(regexp_extract_all(lower(text), '\b(der|die|und|das|ein|nicht)\b')) AS s_de, "
+        r"len(regexp_extract_all(lower(text), '\b(le|la|les|et|une|dans)\b')) AS s_fr, "
+        r"len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|zai|you)\b')) AS s_zh "
+        r"FROM documents), p AS (SELECT lang, CASE "
+        r"WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und' "
+        r"WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en' "
+        r"WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es' "
+        r"WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de' "
+        r"WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr' "
+        r"ELSE 'zh' END AS predicted FROM s) "
+        r"SELECT lang, predicted, count(*)::BIGINT AS n FROM p "
+        r"GROUP BY lang, predicted"
+    ),
+    # rows-only (pytest oracles in tests/test_pipeline.py):
+    "dedup_minhash_lsh": None,
+    "dedup_ngram_jaccard": None,
+    "dedup_simhash": None,
+    "ann_lsh_bucketed": None,
+    "doc_fingerprint": None,
+    "multimodal_decode": None,
+}

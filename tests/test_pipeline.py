@@ -1,0 +1,270 @@
+"""Pytest oracles for the training-data pipeline ops (rows-only keys).
+
+Each rows-only operator is verified against a pure-Python reference
+built from the SAME textops primitives (shared-implementation
+discipline, SURVEY §5.1) on engineered fixtures with known duplicate
+structure — plus determinism and recall properties for the
+approximate ops.
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from spider_1_spark.pipeline import textops
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega red blue green"
+).split()
+
+
+def make_docs():
+    """Docs with engineered structure: exact dups, near dups, uniques."""
+    rng = np.random.Generator(np.random.PCG64(123))
+    docs = []
+    for i in range(20):
+        docs.append(" ".join(rng.choice(WORDS, size=30)))
+    near = docs[3].split()
+    near[7] = "REPLACED"
+    extra = [
+        docs[0],                      # exact dup of 0      -> id 20
+        " ".join(near),               # near dup of 3       -> id 21
+        docs[5] + " tail extra",      # near dup of 5       -> id 22
+        "",                           # empty doc           -> id 23
+        "single",                     # tiny doc            -> id 24
+    ]
+    return docs + extra
+
+
+def make_embeddings():
+    """10 tight clusters x 12 points in 64-d (unit-norm)."""
+    rng = np.random.Generator(np.random.PCG64(321))
+    centers = rng.standard_normal((10, 64))
+    rows = []
+    vid = 0
+    for label, c in enumerate(centers):
+        for _ in range(12):
+            v = c + 0.05 * rng.standard_normal(64)
+            v = v / np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)], label))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def sf_dir(spark):
+    tmp = tempfile.mkdtemp(prefix="spider1_pipe_")
+    docs = make_docs()
+    ddf = spark.createDataFrame(
+        [
+            (i, t, "en", f"src{i % 3}", len(t))
+            for i, t in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ddf.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    edf = spark.createDataFrame(
+        make_embeddings(), "vec_id long, embedding array<float>, label int"
+    )
+    edf.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- oracles
+
+def py_lsh_pairs(docs):
+    a, b = textops.minhash_params(64)
+    sigs = {
+        i: textops.minhash_signature(textops.shingle_hashes(t), a, b)
+        for i, t in enumerate(docs)
+    }
+    bands = {i: textops.band_hashes(s, 16) for i, s in sigs.items()}
+    pairs = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        if any(x == y for x, y in zip(bands[i], bands[j])):
+            pairs.add((i, j))
+    return sigs, pairs
+
+
+def test_minhash_lsh_matches_python_oracle(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import dedup_minhash_lsh
+
+    docs = make_docs()
+    sigs, cand = py_lsh_pairs(docs)
+    expect = {}
+    for i, j in cand:
+        est = float(np.mean(sigs[i] == sigs[j]))
+        if est >= 0.5:
+            expect[(i, j)] = est
+
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    # pair sets exact; estimates to rounding tolerance (Spark rounds
+    # HALF_UP, Python banker's — 58/64 = 0.90625 differs in the 4th dp)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 5e-4, k
+    # engineered dups must be found
+    assert (0, 20) in got and got[(0, 20)] == 1.0   # exact dup
+    assert (3, 21) in got                            # near dup
+    assert (5, 22) in got                            # near dup
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import dedup_ngram_jaccard
+
+    docs = make_docs()
+    _, cand = py_lsh_pairs(docs)
+    sh = {i: textops.shingle_hashes(t) for i, t in enumerate(docs)}
+    expect = {}
+    for i, j in cand:
+        jac = round(textops.jaccard(sh[i], sh[j]), 4)
+        if jac >= 0.3:
+            expect[(i, j)] = jac
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got[(0, 20)] == 1.0
+
+
+def test_simhash_matches_python_oracle(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import dedup_simhash
+
+    docs = make_docs()
+    sh = {i: textops.simhash64(t) for i, t in enumerate(docs)}
+    expect = {}
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        # pigeonhole: pair surfaces iff >= 1 of 4 16-bit blocks equal
+        blocks_equal = any(
+            ((sh[i] >> (16 * blk)) & 0xFFFF) == ((sh[j] >> (16 * blk)) & 0xFFFF)
+            for blk in range(4)
+        )
+        ham = textops.hamming64(sh[i], sh[j])
+        if blocks_equal and ham <= 6:
+            expect[(i, j)] = ham
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got[(0, 20)] == 0  # exact dup -> identical simhash
+
+
+def test_doc_fingerprint_matches_python_oracle(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import doc_fingerprint
+
+    docs = make_docs()
+    got: dict[int, list[int]] = {}
+    for r in doc_fingerprint(spark, sf_dir).collect():
+        got.setdefault(r.doc_id, []).append(r.fp & ((1 << 64) - 1))
+    for i, t in enumerate(docs):
+        expect = [f & ((1 << 64) - 1) for f in textops.winnow_fingerprints(t)]
+        assert sorted(got.get(i, [])) == sorted(expect), f"doc {i}"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import (
+        ann_cosine_topk,
+        ann_lsh_bucketed,
+    )
+
+    exact = {}
+    for r in ann_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ann_lsh_bucketed(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # clustered fixture: same-cluster points share buckets with high
+    # probability -> strong recall expected
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert np.mean(recalls) >= 0.6, f"mean recall {np.mean(recalls):.2f}"
+
+    # determinism: re-running yields the identical result set
+    again = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    first = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann_lsh_bucketed(spark, sf_dir).collect()
+    }
+    assert again == first
+
+
+def test_multimodal_decode_statuses(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import multimodal_decode
+
+    rows = multimodal_decode(spark, sf_dir).collect()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + 1
+    assert by_status.get("unsupported_codec") == 1  # the jpeg stub row
+    assert by_status.get("ok", 0) > 0
+    for r in rows:
+        if r.status == "ok":
+            assert r.w >= 16 and r.h >= 16 and r.fmt in ("ppm", "png", "qlossy")
+            assert r.phash is not None and r.thumb_mean is not None
+        else:
+            assert r.w is None and r.phash is None
+
+
+def test_dedup_exact_on_fixture(spark, sf_dir):
+    from spider_1_spark.pipeline.queries import dedup_exact
+
+    rows = dedup_exact(spark, sf_dir).collect()
+    dups = {r.keep_id: r.n_copies for r in rows if r.n_copies > 1}
+    assert dups == {0: 2}  # doc 20 is the only exact duplicate (of 0)
+
+
+# ------------------------------------------------------- textops properties
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.Generator(np.random.PCG64(5))
+    a, b = textops.minhash_params(256)
+    base = [" ".join(rng.choice(WORDS, size=60)) for _ in range(6)]
+    for t in base:
+        toks = t.split()
+        k = rng.integers(0, len(toks))
+        mod = toks.copy()
+        mod[k] = "XX"
+        s1 = textops.shingle_hashes(t)
+        s2 = textops.shingle_hashes(" ".join(mod))
+        exact = textops.jaccard(s1, s2)
+        est = float(
+            np.mean(
+                textops.minhash_signature(s1, a, b)
+                == textops.minhash_signature(s2, a, b)
+            )
+        )
+        assert abs(est - exact) < 0.15
+
+
+def test_simhash_properties():
+    t = "the quick brown fox jumps over the lazy dog"
+    assert textops.simhash64(t) == textops.simhash64(t)
+    near = textops.simhash64(t.replace("fox", "cat"))
+    far = textops.simhash64(" ".join(["zzz%d" % i for i in range(9)]))
+    d_near = textops.hamming64(textops.simhash64(t), near)
+    d_far = textops.hamming64(textops.simhash64(t), far)
+    assert d_near < d_far
+
+
+def test_winnow_robust_to_distant_edit():
+    t1 = "x" * 50 + "the common middle section here" + "y" * 50
+    t2 = "a" * 50 + "the common middle section here" + "b" * 50
+    f1 = set(textops.winnow_fingerprints(t1))
+    f2 = set(textops.winnow_fingerprints(t2))
+    assert f1 & f2, "shared region must share fingerprints"

@@ -1,0 +1,112 @@
+"""SURVEY §5.5 — static guards.
+
+1. No row-at-a-time Python UDFs anywhere in the package: the
+   BASELINE.json:15 API constraint ("vectorized pandas/Arrow UDFs, no
+   per-row Python") is enforced mechanically.
+2. explain() golden checks: the physical plans the engine relies on
+   actually materialize — parquet filter/column pushdown, broadcast
+   hash join for dimension joins, range partitioning for the global
+   rank (SURVEY §4 table).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spider_1_spark",
+)
+
+# F.udf( / functions.udf( / @udf( — the row-at-a-time form
+_ROW_UDF_RE = re.compile(r"(?<![\w.])(?:F\.|functions\.)?udf\s*\(")
+
+
+def test_no_row_at_a_time_udfs():
+    offenders = []
+    for dirpath, _, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                for lineno, line in enumerate(f, 1):
+                    if "pandas_udf" in line or line.lstrip().startswith("#"):
+                        continue
+                    if _ROW_UDF_RE.search(line):
+                        offenders.append(f"{path}:{lineno}: {line.strip()}")
+    assert not offenders, "row-at-a-time UDFs are banned:\n" + "\n".join(
+        offenders
+    )
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    from spider_1_spark.relational.queries import filter_pred
+
+    plan = _plan(filter_pred(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus" in plan
+    # column pruning: lineitem columns absent, only selected ones read
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols <= {
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    }
+
+
+def test_dimension_join_is_broadcast(spark):
+    from spider_1_spark.relational.queries import join_broadcast
+
+    plan = _plan(join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_rank_uses_range_partitioning(spark):
+    from spider_1_spark.engine.operators import with_global_rank
+
+    df = spark.range(100).selectExpr(
+        "id as depth", "id as parent_rank", "cast(id as int) as link_pos",
+        "concat('u', id) as url"
+    )
+    ranked = with_global_rank(
+        df, spark, ["depth", "parent_rank", "link_pos", "url"]
+    )
+    plan = _plan(ranked)
+    assert "rangepartitioning" in plan.lower()
+    ranked._rank_source.unpersist()
+
+
+def test_politeness_window_is_salted(spark):
+    """candidate_set must contain BOTH the salt-local window and the
+    exact per-host window (A5 skew-proofing)."""
+    from spider_1_spark.engine.operators import candidate_set
+    from spider_1_spark.reference_model.spider1_ref import Policy
+
+    df = spark.range(50).selectExpr(
+        "concat('h', id % 5) as host",
+        "cast(0 as int) as depth",
+        "id as parent_rank",
+        "cast(0 as int) as link_pos",
+        "concat('http://h', id % 5, '.x/p/', id) as url",
+        "cast(0 as int) as t0",
+    )
+    plan = _plan(candidate_set(df, Policy(), 4))
+    # two window operators: partition by (host, salt) then by host
+    assert plan.lower().count("window") >= 2
+    assert "xxhash64" in plan.lower()
