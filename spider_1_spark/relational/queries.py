@@ -454,9 +454,75 @@ def stream_session(spark, sf):
     )
 
 
+# ------------------------------------------------------ sources / sinks
+
+SEED_URLS = [
+    "https://host0.example/",
+    "https://host1.example/",
+    "https://host2.example/",
+    "https://host3.example/",
+]
+
+
+def source_inline(spark, sf):
+    """A1 seed source: ordered in-memory list -> DataFrame with an
+    EXPLICIT rank column (never monotonically_increasing_id — that is
+    partition-order dependent and breaks SPEC-3 determinism)."""
+    rows = [(i, u) for i, u in enumerate(SEED_URLS)]
+    return spark.createDataFrame(rows, "seed_rank INT, url STRING")
+
+
+def sink_append_parquet(spark, sf):
+    """A16 sink path: two parquet appends then read-back — the same
+    write discipline the images sink uses (append-only, no overwrite
+    of committed data)."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="spider1_sink_"), "t")
+    df = _t(spark, sf, "region")
+    df.write.mode("append").parquet(out)
+    df.write.mode("append").parquet(out)
+    return spark.read.parquet(out).agg(
+        F.count("*").cast("long").alias("n_after_two_appends")
+    )
+
+
+def sink_partitioned(spark, sf):
+    """A16 bucketed/partitioned sink: hive-style partitionBy on write,
+    then a partition-pruned read-back (only the o_orderstatus=F
+    directory is scanned — PartitionFilters in explain())."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="spider1_sinkp_"), "t")
+    o = _t(spark, sf, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .agg(F.count("*").cast("long").alias("n_f"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
+    "source_inline": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{u}')" for i, u in enumerate(SEED_URLS)
+        )
+        + ") AS t(seed_rank, url)"
+    ),
+    "sink_append_parquet": (
+        "SELECT 2 * count(*) AS n_after_two_appends FROM region"
+    ),
+    "sink_partitioned": (
+        "SELECT count(*) AS n_f, round(sum(o_totalprice), 2) AS sum_price "
+        "FROM orders WHERE o_orderstatus = 'F'"
+    ),
     "scan_parquet": "SELECT count(*) AS n FROM lineitem",
     "scan_projection_pushdown": (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
@@ -659,6 +725,9 @@ SQL: dict[str, str | None] = {
 }
 
 FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_inline": source_inline,
+    "sink_append_parquet": sink_append_parquet,
+    "sink_partitioned": sink_partitioned,
     "scan_parquet": scan_parquet,
     "scan_projection_pushdown": scan_projection_pushdown,
     "filter_pred": filter_pred,
