@@ -41,6 +41,7 @@ joins + column expressions — no sequential scan anywhere.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -196,6 +197,27 @@ class SparkCrawler:
             print(f"[wave-prof] {label}: +{now - prev:.2f}s", flush=True)
             self._prof_t = now
 
+    @staticmethod
+    def _timed(fn):
+        """Wrap a branch callable with wall-clock reporting (profiling)."""
+        import os
+        import time
+
+        if not os.environ.get("SPIDER1_PROFILE"):
+            return fn
+
+        def wrapped(*a, **kw):
+            t0 = time.time()
+            try:
+                return fn(*a, **kw)
+            finally:
+                print(
+                    f"[branch-prof] {fn.__name__}: {time.time() - t0:.2f}s",
+                    flush=True,
+                )
+
+        return wrapped
+
     def _wave(self, manifest: dict) -> dict:
         spark, st, pol = self.spark, self.store, self.policy
         wave = manifest["wave_id"] + 1
@@ -237,12 +259,6 @@ class SparkCrawler:
         fr = fr.withColumn("t0", F.coalesce(F.col("fetch_total"), F.lit(0)))
         fr = fr.persist()
 
-        blocked = fr.filter(~F.col("allowed"))
-        for pid, n in self._pcounts(blocked):
-            metrics.append(("robots", pid, "robots_blocked", n))
-        counters["robots_blocked"] += sum(n for _, n in self._pcounts_cache)
-        self._prof("robots-gate")
-
         allowed = fr.filter(F.col("allowed"))
 
         # --- A5+A9+A10: candidates, global rank, G cutoff ------------
@@ -254,7 +270,7 @@ class SparkCrawler:
             "seq", F.col("g") + F.lit(manifest["seq_next"])
         )
         fetchset = fetchset.persist()
-        fetch_pc = self._pcounts(fetchset)
+        fetch_pc = self._pcount_rows(fetchset)
         for pid, n in fetch_pc:
             metrics.append(("fetch", pid, "fetched", n))
         n_fetched = sum(n for _, n in fetch_pc)
@@ -271,55 +287,111 @@ class SparkCrawler:
             kstar = None
         self._prof("schedule+rank")
 
-        # --- classify every non-fetched URL (closed form, see module
-        #     docstring) ---------------------------------------------
-        f_h = fetchset.groupBy("host").agg(F.count("*").alias("F_h"))
-        rest = (
-            allowed.join(fetchset.select("url"), "url", "left_anti")
-            .join(f_h, "host", "left")
-            .withColumn("F_h", F.coalesce(F.col("F_h"), F.lit(0)))
-            .withColumn(
-                "cap_h",
-                F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.lit(pol.per_host_wave_budget),
-                        F.lit(pol.per_host_total_cap) - F.col("t0"),
-                    ),
+        # --- concurrent wave DAG -------------------------------------
+        # The rest of the wave is a DAG of Spark jobs whose edges are
+        # the persisted frames; independent branches run from driver
+        # threads (a SparkSession is thread-safe for job submission)
+        # so the JVM-side write/count jobs — low CPU, latency-bound —
+        # overlap the Arrow/Python stages that saturate the cores.
+        # Each persisted frame is materialized by exactly ONE job
+        # before concurrent consumers fork, so nothing computes twice.
+        # Completion order never affects results: the manifest rename
+        # at the end is still the single sequential commit (SPEC-12).
+        pool = ThreadPoolExecutor(max_workers=8)
+
+        def robots_branch() -> list[tuple]:
+            blocked = fr.filter(~F.col("allowed"))
+            return [
+                ("robots", pid, "robots_blocked", n)
+                for pid, n in self._pcount_rows(blocked)
+            ]
+
+        def log_branch() -> None:
+            st.write_wave(
+                "crawl_log",
+                wave,
+                fetchset.select(
+                    "seq",
+                    "url",
+                    "depth",
+                    "parent_rank",
+                    "link_pos",
+                    F.lit(wave).alias("wave_id"),
+                ).repartitionByRange(
+                    max(1, self._shuffle_partitions()), F.col("seq")
                 ),
             )
-        )
-        if kstar is not None:
-            post = (
-                F.struct(*[F.col(c) for c in KEY])
-                > F.struct(*[F.lit(kstar[c]).alias(c) for c in KEY])
+
+        def _f_h() -> DataFrame:
+            return fetchset.groupBy("host").agg(F.count("*").alias("F_h"))
+
+        def gate_branch():
+            """Closed-form dropped/deferred classification (module
+            docstring) + per-partition gate counters, one job."""
+            rest = (
+                allowed.join(fetchset.select("url"), "url", "left_anti")
+                .join(_f_h(), "host", "left")
+                .withColumn("F_h", F.coalesce(F.col("F_h"), F.lit(0)))
+                .withColumn(
+                    "cap_h",
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(pol.per_host_wave_budget),
+                            F.lit(pol.per_host_total_cap) - F.col("t0"),
+                        ),
+                    ),
+                )
             )
-        else:
-            post = F.lit(False)
-        f_eff = F.when(post, F.col("F_h")).otherwise(F.col("cap_h"))
-        rest = rest.withColumn(
-            "status",
-            F.when(
-                F.col("t0") + f_eff >= F.lit(pol.per_host_total_cap), "dropped"
+            if kstar is not None:
+                post = (
+                    F.struct(*[F.col(c) for c in KEY])
+                    > F.struct(*[F.lit(kstar[c]).alias(c) for c in KEY])
+                )
+            else:
+                post = F.lit(False)
+            f_eff = F.when(post, F.col("F_h")).otherwise(F.col("cap_h"))
+            rest = rest.withColumn(
+                "status",
+                F.when(
+                    F.col("t0") + f_eff >= F.lit(pol.per_host_total_cap),
+                    "dropped",
+                )
+                .when(f_eff >= F.lit(pol.per_host_wave_budget), "deferred")
+                .otherwise("dropped"),
+            ).persist()
+            rows = [
+                ("gate", int(r["partition_id"]), r["status"], int(r["n"]))
+                for r in rest.groupBy(
+                    F.spark_partition_id().alias("partition_id"), "status"
+                )
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
+            return rest, rows
+
+        def hosts_branch() -> None:
+            hosts_next = (
+                hosts_all.join(_f_h(), "host", "left")
+                .withColumn(
+                    "fetch_total",
+                    (
+                        F.col("fetch_total")
+                        + F.coalesce(F.col("F_h"), F.lit(0))
+                    ).cast("int"),
+                )
+                .drop("F_h")
             )
-            .when(f_eff >= F.lit(pol.per_host_wave_budget), "deferred")
-            .otherwise("dropped"),
-        )
-        rest = rest.persist()
-        # one job for both gate counters (keyed by partition AND status)
-        for r in (
-            rest.groupBy(
-                F.spark_partition_id().alias("partition_id"), "status"
-            )
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ):
-            metrics.append(("gate", int(r["partition_id"]), r["status"], int(r["n"])))
-            counters[r["status"]] += int(r["n"])
-        self._prof("gate-classify")
-        deferred = rest.filter(F.col("status") == "deferred")
+            st.write_version("hosts", v["hosts"] + 1, hosts_next)
+
+        fut_robots = pool.submit(self._timed(robots_branch))
+        fut_log = pool.submit(self._timed(log_branch))
+        fut_gate = pool.submit(self._timed(gate_branch))
+        fut_hosts = pool.submit(self._timed(hosts_branch))
+        self._prof("fork-side-branches")
 
         # --- A12/A13(+A2+A6): fused fetch+extract+canonicalize+bloom -
+        # (main thread — the dominant Python stage of the wave)
         refs = ops.fetch_extract(
             fetchset,
             self.web_b,
@@ -384,122 +456,129 @@ class SparkCrawler:
         self._prof("dedup")
         fresh = grouped.select("url", "first.*")
         fresh = ops.with_host(fresh).persist()
+        # materialize ONCE before three concurrent consumers fork —
+        # a cold persisted frame hit by parallel jobs computes per-job
+        fresh.count()
+        self._prof("fresh-materialize")
 
-        # --- A14/A15: decode new images ------------------------------
-        img_refs = fresh.filter(F.col("kind") == "img")
-        decoded = ops.decode_images(img_refs, self.web_b).persist()
-        failed = decoded.filter(~F.col("ok"))
-        for pid, n in self._pcounts(failed):
-            metrics.append(("decode", pid, "decode_failed", n))
-        counters["decode_failed"] += sum(n for _, n in self._pcounts_cache)
-        self._prof("decode")
-        images_out = decoded.filter(F.col("ok")).select(
-            "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-        )
+        def images_branch():
+            """A14/A15/A16: decode + verify + phash + sink append."""
+            img_refs = fresh.filter(F.col("kind") == "img")
+            decoded = ops.decode_images(img_refs, self.web_b).persist()
+            rows = [
+                ("decode", pid, "decode_failed", n)
+                for pid, n in self._pcount_rows(decoded.filter(~F.col("ok")))
+            ]
+            st.write_wave(
+                "images",
+                wave,
+                decoded.filter(F.col("ok")).select(
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+                ),
+            )
+            decoded.unpersist()
+            return rows
 
-        # --- commit: appends, then versions, then manifest -----------
-        st.write_wave(
-            "crawl_log",
-            wave,
-            fetchset.select(
-                "seq",
+        def seen_branch() -> None:
+            # delta write: only this wave's new URLs (append-only),
+            # then OR the new bits into the bloom shards (A18)
+            seen_new = fresh.select(
                 "url",
-                "depth",
-                "parent_rank",
-                "link_pos",
-                F.lit(wave).alias("wave_id"),
-            ).repartitionByRange(
-                max(1, self._shuffle_partitions()), F.col("seq")
-            ),
-        )
-        self._prof("write-crawl-log")
-        st.write_wave("images", wave, images_out)
-        self._prof("write-images")
-        st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
-
-        # next frontier = fresh anchors at depth+1  ∪  deferred
-        next_frontier = (
-            fresh.filter(F.col("kind") == "a")
-            .select(
-                "url",
-                "host",
                 "host_hash",
+                F.lit(wave).alias("first_wave"),
                 (F.col("parent_depth") + 1).alias("depth"),
                 F.col("seq").alias("parent_rank"),
                 F.col("pos").alias("link_pos"),
-                F.lit(wave).alias("discovered_wave"),
-                F.lit("PENDING").alias("state"),
             )
-            .unionByName(
-                deferred.select(
+            st.write_version("seen", v["seen"] + 1, seen_new)
+            if self.use_bloom:
+                from spider_1_spark.engine import bloom as bloom_mod
+
+                bloom_mod.update(
+                    st.read_version("seen", v["seen"] + 1).select("url"),
+                    self.bloom,
+                    v["seen"],
+                    v["seen"] + 1,
+                )
+
+        def frontier_branch(rest: DataFrame) -> None:
+            # next frontier = fresh anchors at depth+1  ∪  deferred
+            deferred = rest.filter(F.col("status") == "deferred")
+            next_frontier = (
+                fresh.filter(F.col("kind") == "a")
+                .select(
                     "url",
                     "host",
                     "host_hash",
-                    "depth",
-                    "parent_rank",
-                    "link_pos",
-                    "discovered_wave",
-                    F.lit("DEFERRED").alias("state"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    F.col("seq").alias("parent_rank"),
+                    F.col("pos").alias("link_pos"),
+                    F.lit(wave).alias("discovered_wave"),
+                    F.lit("PENDING").alias("state"),
+                )
+                .unionByName(
+                    deferred.select(
+                        "url",
+                        "host",
+                        "host_hash",
+                        "depth",
+                        "parent_rank",
+                        "link_pos",
+                        "discovered_wave",
+                        F.lit("DEFERRED").alias("state"),
+                    )
                 )
             )
-        )
-        # explicit host-hash range partitioning on the persisted
-        # frontier (BASELINE.json:6 "explicit repartitionByRange")
-        st.write_version(
-            "frontier",
-            v["frontier"] + 1,
-            next_frontier.repartitionByRange(
-                max(1, self._shuffle_partitions()), F.col("host_hash"), F.col("url")
-            ),
-        )
-
-        self._prof("write-frontier")
-        seen_new = fresh.select(
-            "url",
-            "host_hash",
-            F.lit(wave).alias("first_wave"),
-            (F.col("parent_depth") + 1).alias("depth"),
-            F.col("seq").alias("parent_rank"),
-            F.col("pos").alias("link_pos"),
-        )
-        # delta write: only this wave's new URLs (append-only table)
-        st.write_version("seen", v["seen"] + 1, seen_new)
-        if self.use_bloom:
-            from spider_1_spark.engine import bloom as bloom_mod
-
-            bloom_mod.update(
-                st.read_version("seen", v["seen"] + 1).select("url"),
-                self.bloom,
-                v["seen"],
-                v["seen"] + 1,
-            )
-
-        self._prof("write-seen+bloom")
-        hosts_next = (
-            hosts_all.join(f_h, "host", "left")
-            .withColumn(
-                "fetch_total",
-                (F.col("fetch_total") + F.coalesce(F.col("F_h"), F.lit(0))).cast(
-                    "int"
+            # explicit host-hash range partitioning on the persisted
+            # frontier (BASELINE.json:6 "explicit repartitionByRange")
+            st.write_version(
+                "frontier",
+                v["frontier"] + 1,
+                next_frontier.repartitionByRange(
+                    max(1, self._shuffle_partitions()),
+                    F.col("host_hash"),
+                    F.col("url"),
                 ),
             )
-            .drop("F_h")
-        )
-        st.write_version("hosts", v["hosts"] + 1, hosts_next)
 
-        self._prof("write-hosts")
+        fut_images = pool.submit(self._timed(images_branch))
+        fut_seen = pool.submit(self._timed(seen_branch))
+        # gate result gates the frontier write (deferred rows)
+        rest, gate_rows = fut_gate.result()
+        for _, pid, status, n in gate_rows:
+            counters[status] += n
+        metrics.extend(gate_rows)
+        fut_frontier = pool.submit(self._timed(frontier_branch), rest)
+        self._prof("gate-join")
+
+        # --- join all branches; totals from their metric rows --------
+        for row in fut_robots.result():
+            metrics.append(row)
+            counters["robots_blocked"] += row[3]
+        decode_rows = fut_images.result()
+        for row in decode_rows:
+            metrics.append(row)
+            counters["decode_failed"] += row[3]
+        fut_log.result()
+        fut_hosts.result()
+        fut_seen.result()
+        fut_frontier.result()
+        pool.shutdown(wait=True)
+        self._prof("join-branches")
+
+        st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
         # frontier-empty check against the COMMITTED parquet (cheap,
         # also cuts lineage for the next wave)
         frontier_empty = (
             st.read_version("frontier", v["frontier"] + 1).limit(1).count() == 0
         )
-        self._prof("frontier-empty-check")
+        self._prof("metrics+empty-check")
         global_fetched = manifest["global_fetched"] + n_fetched
         done = frontier_empty or global_fetched >= pol.global_page_budget
 
         for df in (
             fr, hosts_wave, fetchset, rest, refs, marked, grouped, fresh,
-            decoded, ranked._rank_source,
+            ranked._rank_source,
         ):
             df.unpersist()
 
@@ -523,10 +602,9 @@ class SparkCrawler:
     def _shuffle_partitions(self) -> int:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    def _pcounts(self, df: DataFrame) -> list[tuple[int, int]]:
-        """Per-partition row counts (A20); caches the result so the
-        caller can both log per-partition rows and sum totals."""
-        rows = [
+    def _pcount_rows(self, df: DataFrame) -> list[tuple[int, int]]:
+        """Per-partition row counts (A20) — pure, thread-safe."""
+        return [
             (int(r["partition_id"]), int(r["n"]))
             for r in df.groupBy(
                 F.spark_partition_id().alias("partition_id")
@@ -534,8 +612,6 @@ class SparkCrawler:
             .agg(F.count("*").alias("n"))
             .collect()
         ]
-        self._pcounts_cache = rows
-        return rows
 
     def _metrics_df(self, wave: int, entries: list[tuple]) -> DataFrame:
         """Wide per-(stage, partition) metrics rows (FIXTURES §A6)."""
