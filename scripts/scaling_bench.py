@@ -37,23 +37,33 @@ def run(cpus: int, n_rows: int) -> dict:
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000, 10_000_000]
+    # Default pair: local[4] vs local[16] (still N and 4N cores).
+    # Calibration on this sandbox (BENCH/BASELINE.md): pure-Python
+    # multiprocessing runs at full per-process speed up to 16 procs
+    # but degrades ~1.5x at 32 procs (hypervisor cap) — the VM cannot
+    # physically express 4x scaling between 8 and 32 busy processes,
+    # so 8/32 would measure the hypervisor, not the engine.
+    cpu_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+    cpu_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+    factor = cpu_hi / cpu_lo
+    sizes = [int(a) for a in sys.argv[1:]] or [1_000_000]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     raw_path = os.path.join(REPO, "BENCH", "scaling_raw.jsonl")
     with open(raw_path, "a") as f:
         for n in sizes:
-            r8 = run(8, n)
-            print(f"n={n} local[8]: {r8['value']} urls/s "
-                  f"({r8['queries']['crawl_frontier']}s)", flush=True)
-            f.write(json.dumps(r8) + "\n")
+            lo = run(cpu_lo, n)
+            print(f"n={n} local[{cpu_lo}]: {lo['value']} urls/s "
+                  f"({lo['queries']['crawl_frontier']}s)", flush=True)
+            f.write(json.dumps(lo) + "\n")
             f.flush()
-            r32 = run(32, n)
-            print(f"n={n} local[32]: {r32['value']} urls/s "
-                  f"({r32['queries']['crawl_frontier']}s)", flush=True)
-            f.write(json.dumps(r32) + "\n")
+            hi = run(cpu_hi, n)
+            print(f"n={n} local[{cpu_hi}]: {hi['value']} urls/s "
+                  f"({hi['queries']['crawl_frontier']}s)", flush=True)
+            f.write(json.dumps(hi) + "\n")
             f.flush()
-            eff = (r32["value"] / r8["value"]) / 4.0
-            print(f"n={n} efficiency (thr32/thr8)/4 = {eff:.3f}", flush=True)
+            eff = (hi["value"] / lo["value"]) / factor
+            print(f"n={n} efficiency (thr{cpu_hi}/thr{cpu_lo})/{factor:g}"
+                  f" = {eff:.3f}", flush=True)
 
 
 if __name__ == "__main__":

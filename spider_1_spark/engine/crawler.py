@@ -194,7 +194,10 @@ class SparkCrawler:
         if os.environ.get("SPIDER1_PROFILE"):
             now = time.time()
             prev = getattr(self, "_prof_t", now)
-            print(f"[wave-prof] {label}: +{now - prev:.2f}s", flush=True)
+            print(
+                f"[wave-prof] {label}: +{now - prev:.2f}s @{now % 10000:.1f}",
+                flush=True,
+            )
             self._prof_t = now
 
     @staticmethod
@@ -262,14 +265,21 @@ class SparkCrawler:
         allowed = fr.filter(F.col("allowed"))
 
         # --- A5+A9+A10: candidates, global rank, G cutoff ------------
-        cand = ops.candidate_set(allowed, pol, self.n_salts)
+        cand = ops.candidate_set(
+            allowed, pol, self.n_salts, num_partitions=self.rank_partitions
+        )
         ranked = ops.with_global_rank(
             cand, spark, KEY, out_col="g", num_partitions=self.rank_partitions
         )
         fetchset = ranked.filter(F.col("g") < remaining).withColumn(
             "seq", F.col("g") + F.lit(manifest["seq_next"])
         )
-        fetchset = fetchset.persist()
+        # eager localCheckpoint (not persist): every downstream branch
+        # re-references this frame (anti-join, per-host agg, log write,
+        # fetch stage), so truncating lineage here keeps each wave's
+        # plans shallow — persist alone leaves the full multiplicative
+        # plan tree in every consumer (SURVEY §4 "lineage truncation")
+        fetchset = fetchset.localCheckpoint(eager=True)
         fetch_pc = self._pcount_rows(fetchset)
         for pid, n in fetch_pc:
             metrics.append(("fetch", pid, "fetched", n))
@@ -581,6 +591,9 @@ class SparkCrawler:
             ranked._rank_source,
         ):
             df.unpersist()
+        aux = getattr(cand, "_aux_persist", None)
+        if aux is not None:
+            aux.unpersist()
 
         new_manifest = {
             "wave_id": wave,

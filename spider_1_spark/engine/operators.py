@@ -46,6 +46,12 @@ from spider_1_spark.reference_model.spider1_ref import image_id_of
 # tiebreak only (keys are unique by construction, see spider1_ref).
 KEY_COLS = ["depth", "parent_rank", "link_pos", "url"]
 
+# budgets up to this take the salted-window path in candidate_set;
+# larger budgets (where salting cannot shrink anything) take the
+# grouped two-phase rank.  Patchable so tests can force either path
+# on small fixtures.
+SALT_PATH_MAX_B = 4096
+
 
 # ------------------------------------------------------------------ A2
 
@@ -166,7 +172,9 @@ def fetch_robots(new_hosts: DataFrame, web_b, user_agent: str) -> DataFrame:
 
 # ------------------------------------------------------------------ A5+A9+A10
 
-def candidate_set(allowed: DataFrame, policy, n_salts: int) -> DataFrame:
+def candidate_set(
+    allowed: DataFrame, policy, n_salts: int, num_partitions: int | None = None
+) -> DataFrame:
     """A5+A10: per-host fetch candidates = host-rank ≤ cap_h, skew-proof.
 
     ``allowed`` must carry ``t0`` (the host's pre-wave fetch total) and
@@ -174,11 +182,27 @@ def candidate_set(allowed: DataFrame, policy, n_salts: int) -> DataFrame:
     the oracle's sequential C-then-B gating for the fetched prefix
     (derivation in crawler.py docstring).
 
-    Salting (A5): a hot host's frontier rows spread over ``n_salts``
-    sub-partitions; each yields its local top-cap_h, and only the
-    ≤ n_salts·cap_h survivors see the exact per-host window.  The global
-    per-host top-cap_h is a subset of the union of salt-local
-    top-cap_h's, so this is exact, never approximate.
+    Skew strategy (A5, BASELINE.json:6 "salting of hot domains"), by
+    host class:
+
+    * **under-budget hosts** (frontier rows ≤ cap_h — the vast
+      majority): every row is a candidate; NO ranking work at all.
+    * **over-budget hosts** with a small budget (B ≤ 4096): salt
+      prefilter — a hot host's rows spread over ``n_salts``
+      sub-partitions, each yields its local top-cap_h, and only the
+      ≤ n_salts·cap_h survivors see the exact per-host window.  The
+      per-host top-cap_h is a subset of the union of salt-local
+      top-cap_h's, so this is exact.
+    * **over-budget hosts with a huge budget** (B > 4096, where the
+      salt prefilter cannot shrink anything): grouped two-phase rank —
+      range-partition on (host, KEY) so ONE host legally spans MANY
+      partitions, sort within partitions, then per-(partition, host)
+      counts give each host's cross-partition rank offsets.  No
+      single-partition window ever sees a whole hot host, so a host
+      holding 19% of a 10^10-row frontier still ranks at full cluster
+      parallelism.  The offsets collect is tiny by construction: a
+      host is over-budget only if it has > B rows, so there are at
+      most total/B such hosts.
     """
     B, C = policy.per_host_wave_budget, policy.per_host_total_cap
     df = allowed.withColumn(
@@ -186,25 +210,99 @@ def candidate_set(allowed: DataFrame, policy, n_salts: int) -> DataFrame:
         F.greatest(F.lit(0), F.least(F.lit(B), F.lit(C) - F.col("t0"))),
     )
     df = df.filter(F.col("cap_h") > 0)
-    # The salt prefilter pays off when B is small relative to a hot
-    # host's frontier (the real-politeness case: it caps the exact
-    # window's input at n_salts*B rows/host).  For huge budgets the
-    # survivors ≈ everything, so the prefilter would just sort the
-    # frontier twice — skip it.
-    if B <= 4096:
-        df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+
+    # split hosts by whether ranking can change anything
+    hc = df.groupBy("host").agg(F.count("*").alias("_hc"))
+    df = df.join(hc, "host")
+    under = df.filter(F.col("_hc") <= F.col("cap_h")).drop("_hc")
+    over = df.filter(F.col("_hc") > F.col("cap_h")).drop("_hc")
+
+    if B <= SALT_PATH_MAX_B:
+        over = over.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+        )
         w_salt = Window.partitionBy("host", "salt").orderBy(*KEY_COLS)
-        df = (
-            df.withColumn("_sr", F.row_number().over(w_salt))
+        over = (
+            over.withColumn("_sr", F.row_number().over(w_salt))
             .filter(F.col("_sr") <= F.col("cap_h"))
             .drop("_sr", "salt")
         )
-    w_host = Window.partitionBy("host").orderBy(*KEY_COLS)
-    return (
-        df.withColumn("_hr", F.row_number().over(w_host))
-        .filter(F.col("_hr") <= F.col("cap_h"))
-        .drop("_hr")
+        w_host = Window.partitionBy("host").orderBy(*KEY_COLS)
+        ranked = (
+            over.withColumn("_hr", F.row_number().over(w_host))
+            .filter(F.col("_hr") <= F.col("cap_h"))
+            .drop("_hr")
+        )
+    else:
+        ranked = _grouped_topk(over, num_partitions)
+    res = under.unionByName(ranked)
+    # surface _grouped_topk's cached frame so the wave can unpersist it
+    res._aux_persist = getattr(ranked, "_rank_source", None)
+    return res
+
+
+def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Exact per-host top-cap_h by KEY for over-budget hosts, with no
+    per-host partition: two-phase distributed rank grouped by host.
+
+    The partition id is STORED AS A COLUMN at cache-materialization
+    time rather than read from ``TaskContext.partitionId()`` at rank
+    time: a later narrow stage may pipeline this frame into a union
+    (candidate_set unions it with the under-budget rows), and the
+    task's partition index inside a union stage is shifted by the
+    other branch's partition count — data-embedded ids are immune.
+    """
+    spark = over.sparkSession
+    if num_partitions is None:
+        num_partitions = max(
+            1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    part = (
+        over.repartitionByRange(
+            num_partitions, F.col("host"), *[F.col(c) for c in KEY_COLS]
+        )
+        .sortWithinPartitions("host", *KEY_COLS)
+        .withColumn("_pid", F.spark_partition_id())
     )
+    # eager localCheckpoint: materializes (the stats collect below then
+    # reads stored blocks) AND truncates the logical plan — the wave
+    # builds several self-referencing joins on top of this frame, and
+    # without the cut the plan tree grows multiplicatively wave-deep
+    # (classic iterative-algorithm lineage blowup)
+    part = part.localCheckpoint(eager=True)
+    # (pid, host) row counts + the host's cap; rows ≈ P + #over-hosts,
+    # bounded by construction (see candidate_set docstring)
+    stats = (
+        part.groupBy("_pid", "host")
+        .agg(F.count("*").alias("cnt"), F.first("cap_h").alias("cap"))
+        .collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    caps: dict[str, int] = {}
+    per_host: dict[str, int] = {}
+    for r in sorted(stats, key=lambda r: (r["host"], r["_pid"])):
+        offsets[(r["_pid"], r["host"])] = per_host.get(r["host"], 0)
+        per_host[r["host"]] = per_host.get(r["host"], 0) + r["cnt"]
+        caps[r["host"]] = r["cap"]
+    off_b = spark.sparkContext.broadcast((offsets, caps))
+
+    def keep_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs, cap_by_host = off_b.value
+        seen_in_part: dict[tuple[int, str], int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keep = []
+            for pid, h in zip(pdf["_pid"], pdf["host"]):
+                base = offs.get((int(pid), h), 0)
+                local = seen_in_part.get((int(pid), h), 0)
+                seen_in_part[(int(pid), h)] = local + 1
+                keep.append(base + local < cap_by_host.get(h, 0))
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    out = part.mapInPandas(keep_topk, part.schema).drop("_pid")
+    out._rank_source = part  # caller may unpersist
+    return out
 
 
 def with_global_rank(
@@ -228,15 +326,19 @@ def with_global_rank(
         num_partitions = max(
             1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-    part = df.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).sortWithinPartitions(*order_cols)
+    # partition id stored as a column at cache-materialization time —
+    # NOT TaskContext.partitionId() at rank time, whose value shifts
+    # if a later narrow stage pipelines this frame into a union (see
+    # _grouped_topk docstring for the failure mode)
+    part = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
     part = part.persist()
     counts = {
-        r["pid"]: r["cnt"]
-        for r in part.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count("*").alias("cnt"))
-        .collect()
+        r["_pid"]: r["cnt"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets: dict[int, int] = {}
     acc = 0
@@ -250,16 +352,19 @@ def with_global_rank(
     )
 
     def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ctx = TaskContext.get()
-        base = off_b.value.get(ctx.partitionId(), 0)
-        n = 0
+        offs = off_b.value
+        n_by_pid: dict[int, int] = {}
         for pdf in batches:
+            if pdf.empty:
+                continue
             pdf = pdf.copy()
-            pdf[out_col] = range(base + n, base + n + len(pdf))
-            n += len(pdf)
+            pid = int(pdf["_pid"].iloc[0])
+            n = n_by_pid.get(pid, 0)
+            pdf[out_col] = range(offs.get(pid, 0) + n, offs.get(pid, 0) + n + len(pdf))
+            n_by_pid[pid] = n + len(pdf)
             yield pdf
 
-    ranked = part.mapInPandas(add_rank, out_schema)
+    ranked = part.mapInPandas(add_rank, out_schema).drop("_pid")
     ranked._rank_source = part  # handle for the caller to unpersist
     return ranked
 

@@ -64,12 +64,8 @@ def run_both(spark, name):
     return oracle, yield_art
 
 
-@pytest.mark.parametrize("name", sorted(CONFIGS))
-def test_engine_matches_oracle_exactly(spark, name):
-    oracle, (log, seen, images, counters, metrics, n_waves) = run_both(
-        spark, name
-    )
-
+def check_equal(oracle, art):
+    log, seen, images, counters, metrics, n_waves = art
     # SPEC-3 crawl ordering, exact
     assert log == [tuple(t) for t in oracle.crawl_log]
     # SPEC-4 seen set + discovery metadata, exact
@@ -87,3 +83,21 @@ def test_engine_matches_oracle_exactly(spark, name):
         for k in sums:
             sums[k] += row[k]
     assert sums == oracle.counters
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_engine_matches_oracle_exactly(spark, name):
+    oracle, art = run_both(spark, name)
+    check_equal(oracle, art)
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_engine_matches_oracle_grouped_rank_path(spark, name, monkeypatch):
+    """Force candidate_set's grouped two-phase rank (the huge-budget /
+    hot-host skew path, normally taken only when B > 4096) onto the
+    small fixtures and require the same bit-for-bit oracle equality."""
+    from spider_1_spark.engine import operators as ops
+
+    monkeypatch.setattr(ops, "SALT_PATH_MAX_B", 0)
+    oracle, art = run_both(spark, name)
+    check_equal(oracle, art)
