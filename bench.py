@@ -51,6 +51,10 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        # zstd beats snappy on BOTH write time and size for the binary
+        # image payloads (measured: 0.93s/384MB vs 1.98s/432MB per
+        # 0.8GB at 16 tasks)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -162,13 +162,33 @@ class SparkCrawler:
     # ----------------------------------------------------------- loop
 
     def _loop(self, manifest: dict, max_waves: int | None) -> CrawlArtifacts:
+        """Pipelined wave loop.
+
+        Wave w+1's CRITICAL path (schedule → fetch → dedup → seen /
+        frontier / hosts snapshots — everything the next wave reads)
+        starts as soon as wave w's critical path ends; wave w's LAGGING
+        branches (images sink append, crawl-log write, metrics, and the
+        manifest rename) drain concurrently and commit while w+1
+        computes.  Manifest commits stay strictly sequential, so the
+        crash contract is unchanged: anything newer than the committed
+        manifest is pruned on resume and the wave replays idempotently
+        (SPEC-12; tests/test_checkpoint.py).
+        """
         waves_run = 0
-        while not manifest["done"]:
+        pending: dict | None = None
+        latest = manifest  # last COMMITTED manifest
+        while not (pending["done"] if pending is not None else latest["done"]):
             if max_waves is not None and waves_run >= max_waves:
                 break
-            manifest = self._wave(manifest)
+            src = pending if pending is not None else latest
+            new_pending = self._wave_critical(src)
             waves_run += 1
-        return self.artifacts(manifest)
+            if pending is not None:
+                latest = self._wave_commit(pending, latest)
+            pending = new_pending
+        if pending is not None:
+            latest = self._wave_commit(pending, latest)
+        return self.artifacts(latest)
 
     def artifacts(self, manifest: dict | None = None) -> CrawlArtifacts:
         if manifest is None:
@@ -221,12 +241,18 @@ class SparkCrawler:
 
         return wrapped
 
-    def _wave(self, manifest: dict) -> dict:
+    def _wave_critical(self, src: dict) -> dict:
+        """Run wave ``src["wave_id"]+1`` up to (and including) the state
+        snapshots the NEXT wave reads; return a ``pending`` dict with
+        the lagging futures for _wave_commit.  ``src`` is either the
+        last committed manifest or the previous wave's pending dict —
+        only its versions / seq_next / global_fetched / wave_id are
+        read (counters are resolved at commit time)."""
         spark, st, pol = self.spark, self.store, self.policy
-        wave = manifest["wave_id"] + 1
-        v = manifest["versions"]
-        remaining = pol.global_page_budget - manifest["global_fetched"]
-        counters = dict(manifest["counters"])
+        wave = src["wave_id"] + 1
+        v = src["versions"]
+        remaining = pol.global_page_budget - src["global_fetched"]
+        cdelta = {k: 0 for k in COUNTER_NAMES}
         metrics: list[tuple] = []  # (stage, pid, counter_name, n)
 
         self._prof(f"w{wave} start")
@@ -272,19 +298,21 @@ class SparkCrawler:
             cand, spark, KEY, out_col="g", num_partitions=self.rank_partitions
         )
         fetchset = ranked.filter(F.col("g") < remaining).withColumn(
-            "seq", F.col("g") + F.lit(manifest["seq_next"])
+            "seq", F.col("g") + F.lit(src["seq_next"])
         )
-        # eager localCheckpoint (not persist): every downstream branch
+        # lazy localCheckpoint (not persist): every downstream branch
         # re-references this frame (anti-join, per-host agg, log write,
         # fetch stage), so truncating lineage here keeps each wave's
         # plans shallow — persist alone leaves the full multiplicative
-        # plan tree in every consumer (SURVEY §4 "lineage truncation")
-        fetchset = fetchset.localCheckpoint(eager=True)
+        # plan tree in every consumer (SURVEY §4 "lineage truncation").
+        # Lazy: the per-partition count right below is the single
+        # next action, so it doubles as the materializing job.
+        fetchset = fetchset.localCheckpoint(eager=False)
         fetch_pc = self._pcount_rows(fetchset)
         for pid, n in fetch_pc:
             metrics.append(("fetch", pid, "fetched", n))
         n_fetched = sum(n for _, n in fetch_pc)
-        counters["fetched"] += n_fetched
+        cdelta["fetched"] += n_fetched
         # n_cand >= remaining  <=>  the G budget ran out mid-wave
         exhausted = n_fetched == remaining
         if exhausted:
@@ -462,7 +490,7 @@ class SparkCrawler:
             n = int(r["n"] or 0)
             if n:
                 metrics.append(("dedup", int(r["partition_id"]), "deduped", n))
-                counters["deduped"] += n
+                cdelta["deduped"] += n
         self._prof("dedup")
         fresh = grouped.select("url", "first.*")
         fresh = ops.with_host(fresh).persist()
@@ -556,58 +584,86 @@ class SparkCrawler:
         # gate result gates the frontier write (deferred rows)
         rest, gate_rows = fut_gate.result()
         for _, pid, status, n in gate_rows:
-            counters[status] += n
+            cdelta[status] += n
         metrics.extend(gate_rows)
         fut_frontier = pool.submit(self._timed(frontier_branch), rest)
         self._prof("gate-join")
 
-        # --- join all branches; totals from their metric rows --------
-        for row in fut_robots.result():
-            metrics.append(row)
-            counters["robots_blocked"] += row[3]
-        decode_rows = fut_images.result()
-        for row in decode_rows:
-            metrics.append(row)
-            counters["decode_failed"] += row[3]
-        fut_log.result()
+        # --- join the branches the NEXT wave reads -------------------
         fut_hosts.result()
         fut_seen.result()
         fut_frontier.result()
-        pool.shutdown(wait=True)
-        self._prof("join-branches")
-
-        st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
         # frontier-empty check against the COMMITTED parquet (cheap,
         # also cuts lineage for the next wave)
         frontier_empty = (
             st.read_version("frontier", v["frontier"] + 1).limit(1).count() == 0
         )
-        self._prof("metrics+empty-check")
-        global_fetched = manifest["global_fetched"] + n_fetched
-        done = frontier_empty or global_fetched >= pol.global_page_budget
+        self._prof("critical-join")
+        global_fetched = src["global_fetched"] + n_fetched
 
-        for df in (
-            fr, hosts_wave, fetchset, rest, refs, marked, grouped, fresh,
-            ranked._rank_source,
-        ):
-            df.unpersist()
-        aux = getattr(cand, "_aux_persist", None)
-        if aux is not None:
-            aux.unpersist()
-
-        new_manifest = {
+        return {
+            # next-wave inputs (same keys a committed manifest has)
             "wave_id": wave,
             "versions": {
                 "frontier": v["frontier"] + 1,
                 "seen": v["seen"] + 1,
                 "hosts": v["hosts"] + 1,
             },
-            "seq_next": manifest["seq_next"] + n_fetched,
+            "seq_next": src["seq_next"] + n_fetched,
             "global_fetched": global_fetched,
+            "done": frontier_empty or global_fetched >= pol.global_page_budget,
+            # lagging work joined by _wave_commit
+            "_futs": {
+                "robots": fut_robots,
+                "log": fut_log,
+                "images": fut_images,
+            },
+            "_pool": pool,
+            "_metrics": metrics,
+            "_cdelta": cdelta,
+            "_unpersist": [
+                fr, hosts_wave, fetchset, rest, refs, marked, grouped,
+                fresh, ranked._rank_source,
+                getattr(cand, "_aux_persist", None),
+            ],
+        }
+
+    def _wave_commit(self, pending: dict, prev_manifest: dict) -> dict:
+        """Join wave w's lagging branches, write its metrics table,
+        commit its manifest (the ordered, atomic commit point), release
+        its cached frames.  Runs after wave w+1's critical path — the
+        image decode/sink and crawl-log writes it waits on overlap that
+        compute."""
+        st = self.store
+        wave = pending["wave_id"]
+        metrics = pending["_metrics"]
+        cdelta = pending["_cdelta"]
+        for row in pending["_futs"]["robots"].result():
+            metrics.append(row)
+            cdelta["robots_blocked"] += row[3]
+        for row in pending["_futs"]["images"].result():
+            metrics.append(row)
+            cdelta["decode_failed"] += row[3]
+        pending["_futs"]["log"].result()
+        pending["_pool"].shutdown(wait=True)
+        st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
+
+        counters = dict(prev_manifest["counters"])
+        for k, n in cdelta.items():
+            counters[k] += n
+        new_manifest = {
+            "wave_id": wave,
+            "versions": pending["versions"],
+            "seq_next": pending["seq_next"],
+            "global_fetched": pending["global_fetched"],
             "counters": counters,
-            "done": done,
+            "done": pending["done"],
         }
         st.commit(new_manifest)
+        for df in pending["_unpersist"]:
+            if df is not None:
+                df.unpersist()
+        self._prof(f"w{wave} commit")
         return new_manifest
 
     # -------------------------------------------------------- helpers

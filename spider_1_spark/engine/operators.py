@@ -264,12 +264,12 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
         .sortWithinPartitions("host", *KEY_COLS)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # eager localCheckpoint: materializes (the stats collect below then
-    # reads stored blocks) AND truncates the logical plan — the wave
-    # builds several self-referencing joins on top of this frame, and
-    # without the cut the plan tree grows multiplicatively wave-deep
-    # (classic iterative-algorithm lineage blowup)
-    part = part.localCheckpoint(eager=True)
+    # localCheckpoint: truncates the logical plan — the wave builds
+    # several self-referencing joins on top of this frame, and without
+    # the cut the plan tree grows multiplicatively wave-deep (classic
+    # iterative-algorithm lineage blowup).  Lazy: the stats collect
+    # right below is the single next action and materializes it.
+    part = part.localCheckpoint(eager=False)
     # (pid, host) row counts + the host's cap; rows ≈ P + #over-hosts,
     # bounded by construction (see candidate_set docstring)
     stats = (
