@@ -428,6 +428,13 @@ class SparkCrawler:
         fut_hosts = pool.submit(self._timed(hosts_branch))
         self._prof("fork-side-branches")
 
+        # the PREVIOUS wave's deferred bloom update must be durable
+        # before this wave's fetch stage probes the shards (SPEC-4
+        # zero-false-negative guarantee)
+        prev_bloom = src.get("_fut_bloom")
+        if prev_bloom is not None:
+            prev_bloom.result()
+
         # --- A12/A13(+A2+A6): fused fetch+extract+canonicalize+bloom -
         # (main thread — the dominant Python stage of the wave)
         refs = ops.fetch_extract(
@@ -518,8 +525,7 @@ class SparkCrawler:
             return rows
 
         def seen_branch() -> None:
-            # delta write: only this wave's new URLs (append-only),
-            # then OR the new bits into the bloom shards (A18)
+            # delta write: only this wave's new URLs (append-only)
             seen_new = fresh.select(
                 "url",
                 "host_hash",
@@ -529,6 +535,17 @@ class SparkCrawler:
                 F.col("pos").alias("link_pos"),
             )
             st.write_version("seen", v["seen"] + 1, seen_new)
+
+        def bloom_branch() -> None:
+            # A18: OR the new URLs' bits into the bloom shards.  Runs
+            # AFTER the seen write but outside the critical join: the
+            # next wave needs the shards only at its FETCH stage (the
+            # probe is fused there), not at schedule time — so this
+            # overlaps the next wave's schedule/rank.  It MUST complete
+            # before this wave's manifest commit: a committed manifest
+            # with missing shard bits would give the resume path bloom
+            # false negatives, which the exact join never sees
+            # (zero-false-negative property is correctness, SPEC-4).
             if self.use_bloom:
                 from spider_1_spark.engine import bloom as bloom_mod
 
@@ -581,6 +598,12 @@ class SparkCrawler:
 
         fut_images = pool.submit(self._timed(images_branch))
         fut_seen = pool.submit(self._timed(seen_branch))
+
+        def bloom_after_seen() -> None:
+            fut_seen.result()
+            bloom_branch()
+
+        fut_bloom = pool.submit(self._timed(bloom_after_seen))
         # gate result gates the frontier write (deferred rows)
         rest, gate_rows = fut_gate.result()
         for _, pid, status, n in gate_rows:
@@ -618,6 +641,7 @@ class SparkCrawler:
                 "log": fut_log,
                 "images": fut_images,
             },
+            "_fut_bloom": fut_bloom,
             "_pool": pool,
             "_metrics": metrics,
             "_cdelta": cdelta,
@@ -645,6 +669,10 @@ class SparkCrawler:
             metrics.append(row)
             cdelta["decode_failed"] += row[3]
         pending["_futs"]["log"].result()
+        # deferred bloom update must be durable before the manifest
+        # rename (resume would otherwise see missing shard bits =
+        # bloom false negatives, breaking SPEC-4 dedup)
+        pending["_fut_bloom"].result()
         pending["_pool"].shutdown(wait=True)
         st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
 
