@@ -92,8 +92,50 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
-    """Band-bucket self-join: pairs sharing >= 1 LSH band."""
+# a band value shared by b documents emits b^2 join rows; real corpora
+# have degenerate bands (empty/boilerplate shingles), so buckets above
+# this cap are DROPPED before the self-join — identical docs are still
+# caught by dedup_exact_hash, and near-dup recall survives via the
+# doc's other 15 bands.  The cap bounds the worst bucket's pair
+# blow-up to cap^2 regardless of corpus shape (the property that keeps
+# LSH dedup alive on a boilerplate-heavy 10^9-doc crawl).
+LSH_BUCKET_CAP = 512
+
+
+def _lsh_candidate_pairs(
+    sig_df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Band-bucket self-join: pairs sharing >= 1 LSH band.
+
+    Buckets with more than ``bucket_cap`` members are dropped before
+    the join (see LSH_BUCKET_CAP); ``lsh_dropped_buckets`` reports what
+    a given corpus loses to the cap.  The pair dedup is a 2-column
+    aggregate (doc_a, doc_b only cross the shuffle, never band columns).
+    """
+    b = _band_rows(sig_df)
+    ok = (
+        b.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= bucket_cap)
+        .select("band_idx", "band_hash")
+    )
+    b = b.join(ok, ["band_idx", "band_hash"], "left_semi")
+    lhs = b.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    rhs = b.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    return (
+        lhs.join(rhs, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _band_rows(sig_df: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from minhash signatures."""
 
     def bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -112,20 +154,23 @@ def _lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
                     rows, columns=["doc_id", "band_idx", "band_hash"]
                 )
 
-    b = sig_df.mapInPandas(
+    return sig_df.mapInPandas(
         bands, "doc_id long, band_idx int, band_hash long"
     )
-    lhs = b.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    rhs = b.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
+
+
+def lsh_dropped_buckets(
+    sig_df: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Observability for the bucket cap: the (band_idx, band_hash,
+    n_docs) buckets the cap drops — run it when tuning the cap for a
+    new corpus (a dropped bucket is recall silently traded for a
+    bounded join, worth logging at scale)."""
     return (
-        lhs.join(rhs, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        _band_rows(sig_df)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > bucket_cap)
     )
 
 
@@ -264,13 +309,85 @@ def _cosine(a_col: str, b_col: str):
     return dot / (na * nb)
 
 
-def dedup_embedding_cosine(spark, sf):
-    """Embedding near-dup pairs: same-label blocking, cosine >= 0.4
-    (threshold sized to the synthetic testdata's cosine distribution
-    so the check is non-vacuous at every sf).
+# Rademacher-plane LSH for the embedding dedup blocking: EMB_BANDS
+# bands of EMB_BITS sign bits each, candidate pair = same bucket in ANY
+# band (band-OR for recall).  The projection is INTEGER-exact on both
+# engines — embeddings are quantized with floor(float64(x) * 1000)
+# (identical IEEE ops in Spark/numpy and DuckDB) and dotted with ±1
+# plane entries, so the sign bits (and hence the buckets and the pair
+# set) are bit-identical between the Spark op and its SQL oracle; a
+# float hyperplane projection could flip a near-zero sign between
+# engines and break the driver's value-hash compare.
+EMB_BANDS, EMB_BITS = 8, 6
 
-    Label blocking keeps the self-join O(sum of block²) instead of
-    O(n²) — at 10^9 rows the block key becomes an ANN bucket id."""
+
+def _emb_planes() -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(17))
+    return rng.choice(np.array([-1.0, 1.0]), size=(EMB_BANDS * EMB_BITS, 64))
+
+
+def _emb_band_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, bucket) rows — EMB_BANDS rows per vector."""
+    planes = _emb_planes().astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        q = np.floor(mat * 1000.0).astype(np.int64)
+        bits = (q @ planes.T) > 0  # (n, EMB_BANDS*EMB_BITS)
+        out = np.zeros((len(embs), EMB_BANDS), dtype=np.int32)
+        for band in range(EMB_BANDS):
+            for i in range(EMB_BITS):
+                out[:, band] |= bits[:, band * EMB_BITS + i].astype(
+                    np.int32
+                ) << i
+        return pd.Series(list(out))
+
+    return e.select(
+        "vec_id",
+        F.posexplode(buckets_udf("embedding")).alias("band_idx", "bucket"),
+    )
+
+
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup pairs, cosine >= 0.4, LSH-bucket blocked.
+
+    Candidate pairs share a Rademacher-LSH band bucket (band-OR over
+    EMB_BANDS bands — see _emb_planes); only candidates compute the
+    exact cosine.  The join is O(sum of bucket²) with 2^EMB_BITS ×
+    EMB_BANDS buckets — at 10^9 rows raise EMB_BITS so bucket size
+    stays executor-memory bounded (the same knob as ann_lsh_bucketed).
+    The exact-but-unscalable label-blocked variant survives as
+    dedup_embedding_label_blocked, the pytest recall yardstick."""
+    e = _emb(spark, sf)
+    b = _emb_band_buckets(e)
+    pairs = (
+        b.select(F.col("vec_id").alias("id_a"), "band_idx", "bucket")
+        .join(
+            b.select(F.col("vec_id").alias("id_b"), "band_idx", "bucket"),
+            ["band_idx", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("id_b"),
+                  F.col("embedding").alias("emb_b"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", F.round(_cosine("emb_a", "emb_b"), 4))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def dedup_embedding_label_blocked(spark, sf):
+    """Label-blocked exact variant (pytest oracle only — label blocks
+    are O(n²/|labels|), a scale-killer at 10^9 rows; kept as the
+    recall yardstick for the LSH-blocked production path above)."""
     e = _emb(spark, sf)
     a = e.select(F.col("vec_id").alias("id_a"), "label",
                  F.col("embedding").alias("emb_a"))
@@ -529,6 +646,49 @@ def multimodal_decode(spark, sf):
     return src.repartition(4, "image_id").mapInPandas(gen, MM_SCHEMA)
 
 
+# ----------------------------------------------------- generated oracles
+
+def _emb_dedup_sql() -> str:
+    """DuckDB oracle for dedup_embedding_cosine with the SAME
+    Rademacher-LSH blocking: floor(x*1000) quantization + ±1 plane
+    dots are integer-exact in both engines, so the candidate pair set
+    matches bit-for-bit (see _emb_planes)."""
+    planes = _emb_planes()
+
+    def dot(p):
+        lit = "[" + ",".join(str(float(x)) for x in p) + "]::DOUBLE[]"
+        return f"list_dot_product(q, {lit})"
+
+    band_cols = []
+    for band in range(EMB_BANDS):
+        bits = [
+            f"(CASE WHEN {dot(planes[band * EMB_BITS + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(EMB_BITS)
+        ]
+        band_cols.append("(" + " + ".join(bits) + f") AS b{band}")
+    same_bucket = " OR ".join(
+        f"a.b{k} = c.b{k}" for k in range(EMB_BANDS)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], "
+        "ea.embedding::DOUBLE[])) * sqrt(list_dot_product("
+        "eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return (
+        "WITH qe AS (SELECT vec_id, list_transform(embedding, "
+        "x -> floor(CAST(x AS DOUBLE) * 1000)) AS q FROM embeddings), "
+        "b AS (SELECT vec_id, " + ", ".join(band_cols) + " FROM qe), "
+        "pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b "
+        f"FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({same_bucket})) "
+        f"SELECT p.id_a, p.id_b, round({cos}, 4) AS sim "
+        "FROM pairs p JOIN embeddings ea ON ea.vec_id = p.id_a "
+        "JOIN embeddings eb ON eb.vec_id = p.id_b "
+        f"WHERE round({cos}, 4) >= 0.4"
+    )
+
+
 # ------------------------------------------------------------- registries
 
 PIPE_FNS = {
@@ -556,21 +716,7 @@ PIPE_SQL: dict[str, str | None] = {
         "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, "
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
     ),
-    "dedup_embedding_cosine": (
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "round(list_dot_product(a.embedding::DOUBLE[], "
-        "b.embedding::DOUBLE[]) / (sqrt(list_dot_product("
-        "a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-        "sqrt(list_dot_product(b.embedding::DOUBLE[], "
-        "b.embedding::DOUBLE[]))), 4) AS sim "
-        "FROM embeddings a JOIN embeddings b ON a.label = b.label "
-        "AND a.vec_id < b.vec_id "
-        "WHERE round(list_dot_product(a.embedding::DOUBLE[], "
-        "b.embedding::DOUBLE[]) / (sqrt(list_dot_product("
-        "a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-        "sqrt(list_dot_product(b.embedding::DOUBLE[], "
-        "b.embedding::DOUBLE[]))), 4) >= 0.4"
-    ),
+    "dedup_embedding_cosine": _emb_dedup_sql(),
     "ann_cosine_topk": (
         "WITH scored AS (SELECT q.vec_id AS query_id, "
         "c.vec_id AS neighbor_id, "

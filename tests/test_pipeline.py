@@ -204,6 +204,74 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert again == first
 
 
+def test_embedding_dedup_lsh_recall_vs_label_blocked(spark, sf_dir):
+    """The production LSH-blocked embedding dedup must recover >=95%
+    of the pairs the exact (label-blocked) variant finds on the
+    clustered fixture (VERDICT r1 item 2: label blocking was the
+    scale-killer; the LSH path must not trade away recall)."""
+    from spider_1_spark.pipeline.queries import (
+        dedup_embedding_cosine,
+        dedup_embedding_label_blocked,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in dedup_embedding_label_blocked(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.sim
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert exact, "fixture must produce same-cluster pairs"
+    recall = len(set(exact) & set(lsh)) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f}"
+    # shared pairs carry identical cosine values
+    for k in set(exact) & set(lsh):
+        assert lsh[k] == exact[k]
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A boilerplate-heavy corpus (many identical docs) must not blow
+    up the LSH band self-join: buckets above the cap are dropped and
+    reported by lsh_dropped_buckets (VERDICT r1 item 3)."""
+    import pandas as pd  # noqa: F401
+
+    from spider_1_spark.pipeline.queries import (
+        SIG_BANDS,
+        _lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures,
+    )
+
+    n_dup, n_uniq = 40, 6
+    rows = [(i, "the same boilerplate text repeated everywhere here")
+            for i in range(n_dup)]
+    rows += [
+        (100 + j, f"unique document number {j} with words w{j} x{j} y{j}")
+        for j in range(n_uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs).persist()
+
+    capped = _lsh_candidate_pairs(sig, bucket_cap=16).collect()
+    # identical docs share ALL bands -> every band bucket holds 40 > 16
+    # -> all dropped; no pair survives from the degenerate group
+    dup_ids = set(range(n_dup))
+    assert not any(r.doc_a in dup_ids and r.doc_b in dup_ids for r in capped)
+    dropped = lsh_dropped_buckets(sig, bucket_cap=16).collect()
+    assert len(dropped) == SIG_BANDS
+    assert all(r.n_docs == n_dup for r in dropped)
+
+    # with the cap above the bucket size the full pair set is back
+    uncapped = _lsh_candidate_pairs(sig, bucket_cap=64).collect()
+    n_dup_pairs = n_dup * (n_dup - 1) // 2
+    got_dup_pairs = sum(
+        1 for r in uncapped if r.doc_a in dup_ids and r.doc_b in dup_ids
+    )
+    assert got_dup_pairs == n_dup_pairs
+    sig.unpersist()
+
+
 def test_multimodal_decode_statuses(spark, sf_dir):
     from spider_1_spark.pipeline.queries import multimodal_decode
 
