@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -454,6 +456,54 @@ def stream_session(spark, sf):
     )
 
 
+# --------------------------------------------- UDF/UDAF taxonomy forms
+
+def udf_grouped_map(spark, sf):
+    """SURVEY §2B ``udf_grouped_map``: grouped-map ``applyInPandas`` —
+    the per-group Arrow-batch form (the engine's A18 bloom rebuild uses
+    the sibling mapInPandas; this is the per-KEY-grouped variant).
+    Ranks documents inside each source by (n_chars, doc_id): integer
+    output, so the DuckDB window-function oracle matches exactly."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        out = pdf[["doc_id", "source"]].copy()
+        out["rank_in_source"] = pd.RangeIndex(1, len(pdf) + 1).astype("int64")
+        return out
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return d.groupBy("source").applyInPandas(
+        rank_group, "doc_id long, source string, rank_in_source long"
+    )
+
+
+def udaf_via_applyInPandas(spark, sf):
+    """SURVEY §2B ``udaf_via_applyInPandas``: grouped-agg
+    ``pandas_udf`` UDAFs (Series -> scalar per group) — the vectorized
+    custom-aggregate form (the engine's counter reductions use
+    built-ins; this demonstrates the custom path).  Integer reductions
+    so the SQL oracle is exact."""
+
+    @F.pandas_udf("long")
+    def total_chars(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("long")
+    def max_chars(v: pd.Series) -> int:
+        return int(v.max())
+
+    @F.pandas_udf("long")
+    def n_docs(v: pd.Series) -> int:
+        return len(v)
+
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        total_chars("n_chars").alias("total_chars"),
+        max_chars("n_chars").alias("max_chars"),
+        n_docs("n_chars").alias("n_docs"),
+    )
+
+
 # ------------------------------------------------------ sources / sinks
 
 SEED_URLS = [
@@ -699,6 +749,16 @@ SQL: dict[str, str | None] = {
         "count(*)::BIGINT AS n FROM orders GROUP BY 1, 2"
     ),
     "hash_fns": None,  # Spark-pinned hashes; golden values in pytest
+    "udf_grouped_map": (
+        "SELECT doc_id, source, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT "
+        "AS rank_in_source FROM documents"
+    ),
+    "udaf_via_applyInPandas": (
+        "SELECT lang, sum(n_chars)::BIGINT AS total_chars, "
+        "max(n_chars)::BIGINT AS max_chars, count(*)::BIGINT AS n_docs "
+        "FROM documents GROUP BY lang"
+    ),
     "stream_tumbling_1h": (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
         "count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v "
@@ -763,6 +823,8 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_json_fns": map_json_fns,
     "cond_fns": cond_fns,
     "hash_fns": hash_fns,
+    "udf_grouped_map": udf_grouped_map,
+    "udaf_via_applyInPandas": udaf_via_applyInPandas,
     "stream_tumbling_1h": stream_tumbling_1h,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
