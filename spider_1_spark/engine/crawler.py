@@ -84,6 +84,7 @@ class SparkCrawler:
         use_bloom: bool = True,
         bloom_shards: int = 32,
         bloom_bits: int = 1 << 22,
+        aligned_probe: bool = False,
     ):
         self.spark = spark
         self.policy = policy
@@ -93,6 +94,16 @@ class SparkCrawler:
         self.n_salts = n_salts
         self.rank_partitions = rank_partitions
         self.use_bloom = use_bloom
+        # aligned_probe: probe bloom shards in a standalone
+        # shard-ALIGNED stage (bloom.probe) instead of fusing the probe
+        # into the fetch/extract Arrow stage.  The fused probe is
+        # faster here (no extra shuffle; every worker lazily caches the
+        # shards it touches), but at the 10^10-URL design point —
+        # thousands of multi-GB shards on shared storage — the aligned
+        # stage bounds per-task sidecar I/O to ~1 shard instead of
+        # worst-case all of them; flip this flag on a real cluster when
+        # shard count × shard size outgrows executor page cache.
+        self.aligned_probe = aligned_probe
         from spider_1_spark.engine.bloom import BloomStore
 
         self.bloom = BloomStore(root, bloom_shards, bloom_bits)
@@ -437,12 +448,20 @@ class SparkCrawler:
 
         # --- A12/A13(+A2+A6): fused fetch+extract+canonicalize+bloom -
         # (main thread — the dominant Python stage of the wave)
-        refs = ops.fetch_extract(
-            fetchset,
-            self.web_b,
-            bloom=self.bloom if self.use_bloom else None,
-            bloom_version=v["seen"],
-        )
+        if self.use_bloom and self.aligned_probe:
+            from spider_1_spark.engine import bloom as bloom_mod
+
+            refs = ops.fetch_extract(fetchset, self.web_b, bloom=None)
+            refs = bloom_mod.probe(
+                refs.drop("maybe_seen"), self.bloom, v["seen"]
+            )
+        else:
+            refs = ops.fetch_extract(
+                fetchset,
+                self.web_b,
+                bloom=self.bloom if self.use_bloom else None,
+                bloom_version=v["seen"],
+            )
         refs = refs.persist()
 
         # seen gate (A7): ONLY maybe-seen rows are joined against the

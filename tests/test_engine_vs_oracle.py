@@ -34,14 +34,14 @@ CONFIGS = {
 }
 
 
-def run_both(spark, name):
+def run_both(spark, name, **crawler_kwargs):
     n_hosts, n_seeds, policy = CONFIGS[name]
     web = SyntheticWeb(n_hosts)
     seeds = make_seeds(n_seeds, n_hosts)
     oracle = ref.crawl(seeds, policy, web)
     root = tempfile.mkdtemp(prefix=f"spider1_{name}_")
     try:
-        art = SparkCrawler(spark, policy, web, root).run(seeds)
+        art = SparkCrawler(spark, policy, web, root, **crawler_kwargs).run(seeds)
         yield_art = (
             sorted(
                 (r.seq, r.url, r.depth, r.parent_rank, r.link_pos, r.wave_id)
@@ -100,4 +100,12 @@ def test_engine_matches_oracle_grouped_rank_path(spark, name, monkeypatch):
 
     monkeypatch.setattr(ops, "SALT_PATH_MAX_B", 0)
     oracle, art = run_both(spark, name)
+    check_equal(oracle, art)
+
+
+def test_engine_matches_oracle_aligned_probe_path(spark):
+    """The standalone shard-ALIGNED bloom probe (bloom.probe — the
+    10^10-scale variant that bounds per-task sidecar I/O) must produce
+    the same bit-for-bit artifacts as the default fused probe."""
+    oracle, art = run_both(spark, "robots", aligned_probe=True)
     check_equal(oracle, art)
