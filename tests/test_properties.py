@@ -135,6 +135,194 @@ def test_bloom_zero_false_negatives_and_bounded_fpr():
     assert fpr < 0.005, f"FPR {fpr:.4f} out of bounds"
 
 
+# -------------------------------------- closed-form politeness gate
+
+def closed_form_crawl(seeds, policy, web):
+    """Wave-parallel mirror of the ENGINE's closed-form politeness
+    gate (crawler.py module docstring): candidates = per-host first
+    cap_h eligible URLs, global G cutoff at key K*, every non-fetched
+    URL classified from (t0, cap_h, F_h, K*) — no sequential scan.
+    Extraction/dedup replicate the oracle verbatim (they are not under
+    test here); ONLY the gate math differs from spider1_ref.crawl, so
+    equality of the two pins the closed form itself across random
+    graphs and budgets — specifically the mid-wave G-exhaustion
+    boundary (key > K*) and deferral chains across 3+ waves, the two
+    places it could silently diverge (VERDICT r1 item 9).
+    """
+    from spider_1_spark.functions import robots as robots_mod
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.extract import extract_refs
+    from spider_1_spark.functions.urlnorm import canonicalize, host_of
+
+    res = ref.CrawlResult()
+    frontier = []
+    for idx, raw in enumerate(seeds):
+        canon = canonicalize(raw)
+        if canon is None:
+            continue
+        if canon in res.seen:
+            res.counters["deduped"] += 1
+            continue
+        res.seen[canon] = (0, 0, idx, 0)
+        frontier.append(((0, idx, 0), canon))
+
+    robots_cache: dict[str, list] = {}
+    B, C, G = (policy.per_host_wave_budget, policy.per_host_total_cap,
+               policy.global_page_budget)
+    global_fetched = 0
+    seq = 0
+    wave = 0
+    while frontier:
+        rows = sorted(
+            ((key, url, host_of(url)) for key, url in frontier),
+            key=lambda t: (t[0], t[1]),
+        )
+        for _, url, host in rows:
+            if host not in robots_cache:
+                robots_cache[host] = robots_mod.parse_robots(
+                    web.robots(host), policy.user_agent
+                )
+        eligible = []
+        for key, url, host in rows:
+            if robots_mod.allowed(
+                robots_cache[host], robots_mod.robots_path(url)
+            ):
+                eligible.append((key, url, host))
+            else:
+                res.counters["robots_blocked"] += 1
+        # --- the closed form under test ---------------------------
+        t0 = dict(res.host_fetch_total)
+        cap = {
+            h: max(0, min(B, C - t0.get(h, 0)))
+            for _, _, h in eligible
+        }
+        host_rank: dict[str, int] = {}
+        candidates = []
+        for key, url, host in eligible:  # global key order
+            r = host_rank.get(host, 0)
+            host_rank[host] = r + 1
+            if r < cap[host]:
+                candidates.append((key, url, host))
+        remaining = G - global_fetched
+        fetched = candidates[:max(0, remaining)]
+        exhausted = len(fetched) == remaining
+        kstar = (fetched[-1][0], fetched[-1][1]) if (
+            exhausted and fetched
+        ) else None
+        f_h: dict[str, int] = {}
+        for _, _, host in fetched:
+            f_h[host] = f_h.get(host, 0) + 1
+        fetched_urls = {u for _, u, _ in fetched}
+        next_frontier = []
+        for key, url, host in eligible:
+            if url in fetched_urls:
+                continue
+            post = kstar is not None and (key, url) > kstar
+            f = f_h.get(host, 0) if post else cap[host]
+            if t0.get(host, 0) + f >= C:
+                res.counters["dropped"] += 1
+            elif f >= B:
+                res.counters["deferred"] += 1
+                next_frontier.append((key, url))
+            else:
+                res.counters["dropped"] += 1
+        # --- fetch + extraction: replicated from the oracle -------
+        for key, url, host in fetched:
+            depth, parent_rank, link_pos = key
+            global_fetched += 1
+            res.host_fetch_total[host] = res.host_fetch_total.get(host, 0) + 1
+            res.counters["fetched"] += 1
+            res.crawl_log.append(
+                (seq, url, depth, parent_rank, link_pos, wave)
+            )
+            html = web.html(url)
+            if html is not None:
+                for pos, kind, raw_url, caption in extract_refs(html):
+                    canon = canonicalize(raw_url, base=url)
+                    if canon is None:
+                        continue
+                    if canon in res.seen:
+                        res.counters["deduped"] += 1
+                        continue
+                    if kind == "a":
+                        if depth + 1 > policy.max_depth:
+                            continue
+                        res.seen[canon] = (wave, depth + 1, seq, pos)
+                        next_frontier.append(((depth + 1, seq, pos), canon))
+                    else:
+                        res.seen[canon] = (wave, depth + 1, seq, pos)
+                        data = web.image(canon)
+                        if data is None:
+                            res.counters["decode_failed"] += 1
+                            continue
+                        try:
+                            decode(data)
+                        except DecodeError:
+                            res.counters["decode_failed"] += 1
+            seq += 1
+        res.n_waves = wave + 1
+        wave += 1
+        frontier = next_frontier
+        if global_fetched >= G:
+            break
+    return res
+
+
+gate_policies = st.builds(
+    ref.Policy,
+    st.integers(0, 3),      # max_depth
+    st.integers(1, 3),      # B small -> deferral chains across waves
+    st.integers(1, 6),      # C small -> cap boundary hits
+    st.integers(1, 25),     # G small -> mid-wave exhaustion common
+)
+
+
+@settings(max_examples=220, deadline=None)
+@given(gate_policies, st.integers(2, 8), st.integers(1, 6))
+def test_closed_form_gate_equals_sequential_oracle(pol, n_hosts, n_seeds):
+    """≥200 random (graph, policy) examples: the wave-parallel closed
+    form reproduces the sequential oracle's ordering, seen set and
+    counters exactly — including runs where G exhausts mid-wave (K*
+    boundary) and deferred rows survive 3+ waves."""
+    from spider_1_spark.fixtures.webgen import SyntheticWeb, make_seeds
+
+    seeds = make_seeds(n_seeds, n_hosts)
+    web = SyntheticWeb(n_hosts)
+    oracle = ref.crawl(seeds, pol, web)
+    sim = closed_form_crawl(seeds, pol, web)
+    assert sim.crawl_log == oracle.crawl_log
+    assert sim.seen == oracle.seen
+    assert sim.counters == oracle.counters
+    assert sim.n_waves == oracle.n_waves
+
+
+def test_closed_form_gate_hits_target_boundaries():
+    """The sweep must actually exercise the two danger zones; pin two
+    configs that provably do (guards against the strategy silently
+    shrinking away from them)."""
+    from spider_1_spark.fixtures.webgen import SyntheticWeb, make_seeds
+
+    # mid-wave G exhaustion: G=7 exhausts inside wave 1
+    pol = ref.Policy(3, 2, 8, 7)
+    web = SyntheticWeb(6)
+    seeds = make_seeds(5, 6)
+    oracle = ref.crawl(seeds, pol, web)
+    assert oracle.counters["fetched"] == 7
+    assert oracle.counters["dropped"] > 0  # post-exhaustion classify
+    sim = closed_form_crawl(seeds, pol, web)
+    assert (sim.crawl_log, sim.counters) == (oracle.crawl_log, oracle.counters)
+
+    # deferral chain: B=1 with a deep host queue defers rows 3+ waves
+    pol2 = ref.Policy(2, 1, 12, 60)
+    web2 = SyntheticWeb(3)
+    seeds2 = make_seeds(6, 3)
+    oracle2 = ref.crawl(seeds2, pol2, web2)
+    assert oracle2.n_waves >= 4 and oracle2.counters["deferred"] > 0
+    sim2 = closed_form_crawl(seeds2, pol2, web2)
+    assert sim2.crawl_log == oracle2.crawl_log
+    assert sim2.counters == oracle2.counters
+
+
 # ----------------------------------------------------- minhash bounds
 
 @settings(max_examples=30, deadline=None)
