@@ -48,11 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spider_1_spark.engine import operators as ops
-from spider_1_spark.engine.state import (
-    HOSTS_SCHEMA,
-    METRICS_SCHEMA,
-    ParquetSnapshotStore,
-)
+from spider_1_spark.engine.state import HOSTS_SCHEMA, METRICS_SCHEMA
 from spider_1_spark.reference_model.spider1_ref import COUNTER_NAMES, Policy
 
 KEY = ops.KEY_COLS  # depth, parent_rank, link_pos, url
@@ -85,12 +81,25 @@ class SparkCrawler:
         bloom_shards: int = 32,
         bloom_bits: int = 1 << 22,
         aligned_probe: bool = False,
+        store=None,
+        bloom_root: str | None = None,
     ):
         self.spark = spark
         self.policy = policy
         self.web = web
         self.web_b = spark.sparkContext.broadcast(web)
-        self.store = ParquetSnapshotStore(spark, root)
+        # SURVEY §1.4 backend split: IcebergStateStore when the runtime
+        # jar is on the classpath and ``root`` is a catalog namespace
+        # (make_store auto-detects; inert in this sandbox — no jar),
+        # ParquetSnapshotStore otherwise.  ``store`` injects either
+        # explicitly.  The bloom sidecars always need a filesystem/
+        # object-store path: pass ``bloom_root`` when ``root`` is a
+        # catalog namespace.
+        if store is None:
+            from spider_1_spark.engine.state_iceberg import make_store
+
+            store = make_store(spark, root)
+        self.store = store
         self.n_salts = n_salts
         self.rank_partitions = rank_partitions
         self.use_bloom = use_bloom
@@ -106,7 +115,7 @@ class SparkCrawler:
         self.aligned_probe = aligned_probe
         from spider_1_spark.engine.bloom import BloomStore
 
-        self.bloom = BloomStore(root, bloom_shards, bloom_bits)
+        self.bloom = BloomStore(bloom_root or root, bloom_shards, bloom_bits)
 
     # ------------------------------------------------------------ run
 
