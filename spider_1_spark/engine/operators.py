@@ -200,9 +200,9 @@ def candidate_set(
       counts give each host's cross-partition rank offsets.  No
       single-partition window ever sees a whole hot host, so a host
       holding 19% of a 10^10-row frontier still ranks at full cluster
-      parallelism.  The offsets collect is tiny by construction: a
-      host is over-budget only if it has > B rows, so there are at
-      most total/B such hosts.
+      parallelism.  The offsets collect is O(P) by construction: only
+      boundary-spanning hosts (≤ P-1 of them) need offsets at all
+      (see _grouped_topk).
     """
     B, C = policy.per_host_wave_budget, policy.per_host_total_cap
     df = allowed.withColumn(
@@ -264,40 +264,46 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
         .sortWithinPartitions("host", *KEY_COLS)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # localCheckpoint: truncates the logical plan — the wave builds
-    # several self-referencing joins on top of this frame, and without
-    # the cut the plan tree grows multiplicatively wave-deep (classic
-    # iterative-algorithm lineage blowup).  Lazy: the stats collect
-    # right below is the single next action and materializes it.
-    part = part.localCheckpoint(eager=False)
-    # (pid, host) row counts + the host's cap; rows ≈ P + #over-hosts,
-    # bounded by construction (see candidate_set docstring)
-    stats = (
-        part.groupBy("_pid", "host")
-        .agg(F.count("*").alias("cnt"), F.first("cap_h").alias("cap"))
-        .collect()
+    # persist (not localCheckpoint — its RDD blocks would survive
+    # DataFrame.unpersist() at wave commit, ADVICE r1); per-wave
+    # lineage is bounded anyway by the parquet snapshot boundaries.
+    part = part.persist()
+    # Driver state is HARD-BOUNDED at O(P): only hosts that SPAN a
+    # partition boundary need cross-partition rank offsets, and a
+    # range partitioning by (host, KEY) puts at most one spanning host
+    # on each of the P-1 boundaries.  Single-partition hosts rank
+    # locally from zero, and every row carries its own cap in the
+    # cap_h column — so nothing per-host is collected or broadcast
+    # (ADVICE r1: the (pid, host) dict could reach millions of entries
+    # at the 10^10-row design point; this collect is ≤ 2P rows by
+    # construction, at ANY host count).
+    per = part.groupBy("_pid", "host").agg(F.count("*").alias("cnt"))
+    spanning = (
+        per.groupBy("host")
+        .agg(F.count("*").alias("np"))
+        .filter(F.col("np") > 1)
+        .select("host")
     )
+    stats = per.join(F.broadcast(spanning), "host", "left_semi").collect()
     offsets: dict[tuple[int, str], int] = {}
-    caps: dict[str, int] = {}
     per_host: dict[str, int] = {}
     for r in sorted(stats, key=lambda r: (r["host"], r["_pid"])):
         offsets[(r["_pid"], r["host"])] = per_host.get(r["host"], 0)
         per_host[r["host"]] = per_host.get(r["host"], 0) + r["cnt"]
-        caps[r["host"]] = r["cap"]
-    off_b = spark.sparkContext.broadcast((offsets, caps))
+    off_b = spark.sparkContext.broadcast(offsets)
 
     def keep_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offs, cap_by_host = off_b.value
+        offs = off_b.value
         seen_in_part: dict[tuple[int, str], int] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
             keep = []
-            for pid, h in zip(pdf["_pid"], pdf["host"]):
+            for pid, h, cap in zip(pdf["_pid"], pdf["host"], pdf["cap_h"]):
                 base = offs.get((int(pid), h), 0)
                 local = seen_in_part.get((int(pid), h), 0)
                 seen_in_part[(int(pid), h)] = local + 1
-                keep.append(base + local < cap_by_host.get(h, 0))
+                keep.append(base + local < int(cap))
             yield pdf[pd.Series(keep, index=pdf.index)]
 
     out = part.mapInPandas(keep_topk, part.schema).drop("_pid")

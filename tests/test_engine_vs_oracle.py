@@ -103,6 +103,21 @@ def test_engine_matches_oracle_grouped_rank_path(spark, name, monkeypatch):
     check_equal(oracle, art)
 
 
+def test_wave_commit_releases_all_cached_blocks(spark):
+    """ADVICE r1: localCheckpoint'ed frames were released with
+    DataFrame.unpersist(), which does NOT free their RDD blocks —
+    cached-block growth on long crawls.  After a run every
+    wave-created cache entry AND checkpoint block must be gone."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    oracle, art = run_both(spark, "tight_g")
+    check_equal(oracle, art)
+    after = len(jsc.getRDDStorageInfo())
+    assert after <= before, (
+        f"crawl leaked {after - before} cached RDD(s) past wave commit"
+    )
+
+
 def test_engine_matches_oracle_aligned_probe_path(spark):
     """The standalone shard-ALIGNED bloom probe (bloom.probe — the
     10^10-scale variant that bounds per-task sidecar I/O) must produce
