@@ -134,7 +134,17 @@ def main() -> int:
 
         queries = {"crawl_frontier": crawl["elapsed_s"], **rel}
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:  # attribute every raw line to the engine commit
+            import subprocess
+
+            commit = subprocess.run(
+                ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:
+            commit = None
         out = {
+            "commit": commit,
             "metric": "frontier_urls_per_sec",
             "value": crawl["urls_per_sec"],
             "unit": "urls/sec",
