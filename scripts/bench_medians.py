@@ -1,0 +1,60 @@
+"""Median throughput per (commit, frontier_rows, cpus) from
+BENCH/scaling_raw.jsonl — the numbers BENCH/BASELINE.md quotes.
+
+Every quoted figure must map to committed raw lines (r1 judge flagged
+an md quoting runs absent from the jsonl); this script IS the mapping:
+run it and paste.
+
+Usage: python scripts/bench_medians.py [commit-prefix]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    want = sys.argv[1] if len(sys.argv) > 1 else None
+    rows: dict[tuple, list[dict]] = {}
+    with open(os.path.join(REPO, "BENCH", "scaling_raw.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            commit = d.get("commit") or "r1-pre-tagging"
+            if want and not commit.startswith(want):
+                continue
+            key = (commit, d["frontier_rows"], d["cpus"])
+            rows.setdefault(key, []).append(d)
+    for (commit, n, cpus), ds in sorted(rows.items()):
+        thr = [d["value"] for d in ds]
+        sec = [d["queries"]["crawl_frontier"] for d in ds]
+        print(
+            f"{commit} n={n:>9} local[{cpus:>2}] reps={len(thr)} "
+            f"median={statistics.median(thr):>9.1f} urls/s "
+            f"({statistics.median(sec):.1f}s) "
+            f"all={sorted(thr)}"
+        )
+    # efficiency per (commit, n) for the conventional pairs
+    print()
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+        for (commit, n, cpus), ds in sorted(rows.items()):
+            if cpus != lo:
+                continue
+            hi_key = (commit, n, hi)
+            if hi_key not in rows:
+                continue
+            mlo = statistics.median([d["value"] for d in ds])
+            mhi = statistics.median([d["value"] for d in rows[hi_key]])
+            print(
+                f"{commit} n={n:>9} eff({hi}/{lo}) = "
+                f"{(mhi / mlo) / (hi / lo):.3f}  "
+                f"(medians {mlo:.0f} -> {mhi:.0f})"
+            )
+
+
+if __name__ == "__main__":
+    main()
