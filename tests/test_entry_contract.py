@@ -64,6 +64,23 @@ def test_every_oracle_key_has_a_query():
         assert key in q, f"oracle_sql key {key} missing from queries()"
 
 
+def test_driver_window_holds_all_live_full_oracle_keys():
+    """The driver records only the first 50 registry keys (observed
+    r01: exactly 50 of 57).  Every full-oracle key must be inside that
+    window except the three explicitly demoted ones, which are
+    unchanged since their r01 full-pass rows; the priority keys
+    (changed/added this round) must lead."""
+    keys = list(entrymod.queries())
+    window = set(keys[:50])
+    sql = entrymod.oracle_sql()
+    demoted = set(entrymod._LAST_FULL_KEYS)
+    for k in sql:
+        if k not in demoted:
+            assert k in window, f"full-oracle key {k} outside 50-row window"
+    for i, k in enumerate(entrymod._FIRST_KEYS):
+        assert keys[i] == k
+
+
 @pytest.mark.parametrize("key", SUBSET)
 def test_query_matches_duckdb(spark, duck, key):
     sdf = entrymod.queries()[key](spark, SF_DIR)
