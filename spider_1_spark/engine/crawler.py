@@ -236,6 +236,9 @@ class SparkCrawler:
                 pending = new_pending
             if pending is not None:
                 latest = self._wave_commit(pending, latest)
+                # no next wave will consume the final handoff frame
+                if pending.get("_frontier_df") is not None:
+                    _release_cached(pending["_frontier_df"])
                 pending = None
         except BaseException:
             # a failed wave must not abandon in-flight branch threads:
@@ -319,7 +322,22 @@ class SparkCrawler:
         metrics: list[tuple] = []  # (stage, pid, counter_name, n)
 
         self._prof(f"w{wave} start")
-        frontier = st.read_version("frontier", v["frontier"])
+        # In-memory handoff from the previous wave when available: the
+        # frontier PARQUET write is a lagging branch (joined at that
+        # wave's commit), so reading it back here would stall on it.
+        # The handoff plan recomputes from frames the previous wave
+        # keeps cached until its commit — which happens only after
+        # this wave's critical path.  Resume / wave 0 read the
+        # committed snapshot.  The enriched `fr` below is persisted
+        # MEMORY_AND_DISK and materialized by this wave's first job,
+        # i.e. before the previous wave's frames are released; after
+        # that release the handoff lineage is no longer recomputable
+        # (it crosses a freed localCheckpoint), so a lost `fr` block on
+        # a real cluster fails the wave — recovery is the normal
+        # resume-from-manifest contract, which reads parquet only.
+        frontier = src.get("_frontier_df")
+        if frontier is None:
+            frontier = st.read_version("frontier", v["frontier"])
         hosts = st.read_version("hosts", v["hosts"])
         seen = st.read_delta_union("seen", v["seen"])  # append-only deltas
 
@@ -454,7 +472,10 @@ class SparkCrawler:
         # before concurrent consumers fork, so nothing computes twice.
         # Completion order never affects results: the manifest rename
         # at the end is still the single sequential commit (SPEC-12).
-        pool = ThreadPoolExecutor(max_workers=8)
+        # one worker per branch (9 submissions/wave): bloom_after_seen
+        # BLOCKS on fut_seen while holding a worker, so the pool must
+        # never be so small that seen_branch is left queued behind it
+        pool = ThreadPoolExecutor(max_workers=10)
         self._active_pool = pool  # drained by _loop on mid-wave failure
 
         def robots_branch() -> list[tuple]:
@@ -465,6 +486,14 @@ class SparkCrawler:
             ]
 
         def log_branch() -> None:
+            # fetchset is already range-partitioned + sorted by KEY and
+            # seq = g + const is monotone across those partitions, so
+            # the output files are seq-contiguous as-is; every reader
+            # orders by the seq COLUMN.  A repartitionByRange(seq) here
+            # re-shuffled the whole fetchset (plus a range-sampling
+            # job) per wave for nothing — removed (r2 profile: the log
+            # branch was a full-shuffle job competing with the fetch
+            # stage for cores).
             st.write_wave(
                 "crawl_log",
                 wave,
@@ -475,13 +504,19 @@ class SparkCrawler:
                     "parent_rank",
                     "link_pos",
                     F.lit(wave).alias("wave_id"),
-                ).repartitionByRange(
-                    max(1, self._shuffle_partitions()), F.col("seq")
                 ),
             )
 
+        # per-host fetched counts — ONE shuffle of fetchset, shared by
+        # the gate and hosts branches (each previously re-aggregated it:
+        # two identical fetchset shuffles per wave).  Tiny result
+        # (≤ #hosts rows), materialized by a pool job both consumers
+        # join on.
+        fh = fetchset.groupBy("host").agg(F.count("*").alias("F_h")).persist()
+
         def _f_h() -> DataFrame:
-            return fetchset.groupBy("host").agg(F.count("*").alias("F_h"))
+            fut_fh.result()
+            return fh
 
         def gate_branch():
             """Closed-form dropped/deferred classification (module
@@ -546,6 +581,10 @@ class SparkCrawler:
             # occupying a critical-path job
             return new_host_rows.count()
 
+        def fh_branch() -> int:
+            return fh.count()
+
+        fut_fh = pool.submit(self._timed(fh_branch))
         fut_robots = pool.submit(self._timed(robots_branch))
         fut_log = pool.submit(self._timed(log_branch))
         fut_gate = pool.submit(self._timed(gate_branch))
@@ -613,21 +652,36 @@ class SparkCrawler:
         )
         grouped = grouped.persist()
         pidc = F.spark_partition_id().alias("partition_id")
-        # one job: already-seen dups + intra-wave dups per partition
-        for r in (
+        # ONE job: already-seen dups + intra-wave dups per partition,
+        # plus the count of next-frontier anchors in `fresh` — the
+        # latter (with the gate's deferred count) decides frontier
+        # emptiness WITHOUT waiting for the frontier parquet write,
+        # which this lets lag to commit time like the log/image sinks.
+        n_anchor_next = 0
+        rows = (
             dup_seen.groupBy(pidc)
             .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("m", F.lit("dedup"))
             .unionAll(
-                grouped.groupBy(pidc).agg(
-                    F.sum(F.col("n_occ") - 1).alias("n")
-                )
+                grouped.groupBy(pidc)
+                .agg(F.sum(F.col("n_occ") - 1).cast("long").alias("n"))
+                .withColumn("m", F.lit("dedup"))
             )
-            .groupBy("partition_id")
+            .unionAll(
+                grouped.filter(F.col("first.kind") == "a")
+                .groupBy(pidc)
+                .agg(F.count("*").cast("long").alias("n"))
+                .withColumn("m", F.lit("anchors"))
+            )
+            .groupBy("partition_id", "m")
             .agg(F.sum("n").alias("n"))
             .collect()
-        ):
+        )
+        for r in rows:
             n = int(r["n"] or 0)
-            if n:
+            if r["m"] == "anchors":
+                n_anchor_next += n
+            elif n:
                 metrics.append(("dedup", int(r["partition_id"]), "deduped", n))
                 cdelta["deduped"] += n
         self._prof("dedup")
@@ -688,10 +742,10 @@ class SparkCrawler:
                     v["seen"] + 1,
                 )
 
-        def frontier_branch(rest: DataFrame) -> None:
+        def _next_frontier(rest: DataFrame) -> DataFrame:
             # next frontier = fresh anchors at depth+1  ∪  deferred
             deferred = rest.filter(F.col("status") == "deferred")
-            next_frontier = (
+            return (
                 fresh.filter(F.col("kind") == "a")
                 .select(
                     "url",
@@ -716,12 +770,19 @@ class SparkCrawler:
                     )
                 )
             )
+
+        def frontier_branch(nf: DataFrame) -> None:
             # explicit host-hash range partitioning on the persisted
-            # frontier (BASELINE.json:6 "explicit repartitionByRange")
+            # frontier (BASELINE.json:6 "explicit repartitionByRange").
+            # This write LAGS: the next wave consumes the in-memory
+            # handoff plan, so only the commit (and resume) depends on
+            # the parquet — it overlaps the next wave's critical path
+            # exactly like the log/image sinks (r2 profile: the write
+            # was the single longest critical-path wait of a wave).
             st.write_version(
                 "frontier",
                 v["frontier"] + 1,
-                next_frontier.repartitionByRange(
+                nf.repartitionByRange(
                     max(1, self._shuffle_partitions()),
                     F.col("host_hash"),
                     F.col("url"),
@@ -741,18 +802,25 @@ class SparkCrawler:
         for _, pid, status, n in gate_rows:
             cdelta[status] += n
         metrics.extend(gate_rows)
-        fut_frontier = pool.submit(self._timed(frontier_branch), rest)
+        # lazy localCheckpoint: truncates the LOGICAL plan to a
+        # LogicalRDD — without it the handoff chains every prior
+        # wave's plan into the next (geometric plan growth; the
+        # optimizer/explain pass OOMs after ~8 waves).  The write
+        # branch and the next wave's first job share the materialized
+        # blocks; released at the NEXT wave's commit (or the loop
+        # tail), and on block loss the recovery is resume-from-
+        # manifest, same as fetchset.
+        next_frontier = _next_frontier(rest).localCheckpoint(eager=False)
+        fut_frontier = pool.submit(self._timed(frontier_branch), next_frontier)
         self._prof("gate-join")
 
         # --- join the branches the NEXT wave reads -------------------
         n_new = fut_hosts.result()
         fut_seen.result()
-        fut_frontier.result()
-        # frontier-empty check against the COMMITTED parquet (cheap,
-        # also cuts lineage for the next wave)
-        frontier_empty = (
-            st.read_version("frontier", v["frontier"] + 1).limit(1).count() == 0
-        )
+        # frontier emptiness from already-collected counters — the
+        # next-frontier rows are EXACTLY fresh anchors + deferred, so
+        # no job (and no wait on the lagging write) is needed
+        frontier_empty = (n_anchor_next + cdelta["deferred"]) == 0
         self._prof("critical-join")
         global_fetched = src["global_fetched"] + n_fetched
 
@@ -768,20 +836,29 @@ class SparkCrawler:
             "global_fetched": global_fetched,
             "n_hosts": (src.get("n_hosts") or 0) + n_new,
             "done": frontier_empty or global_fetched >= pol.global_page_budget,
+            # in-memory next-frontier handoff (recomputes from frames
+            # cached until this wave's commit, which runs after the
+            # next wave's critical path)
+            "_frontier_df": next_frontier,
             # lagging work joined by _wave_commit
             "_futs": {
                 "robots": fut_robots,
                 "log": fut_log,
                 "images": fut_images,
+                "frontier": fut_frontier,
             },
             "_fut_bloom": fut_bloom,
             "_pool": pool,
             "_metrics": metrics,
             "_cdelta": cdelta,
             "_unpersist": [
-                fr, new_host_rows, fetchset, rest, refs, marked, grouped,
-                fresh, ranked._rank_source,
+                fr, new_host_rows, fetchset, fh, rest, refs, marked,
+                grouped, fresh, ranked._rank_source,
                 getattr(cand, "_aux_persist", None),
+                # the PREVIOUS wave's frontier handoff: fully consumed
+                # once this wave's fr is materialized and that wave's
+                # write has committed (ordered before this commit)
+                src.get("_frontier_df"),
             ],
         }
 
@@ -802,6 +879,9 @@ class SparkCrawler:
             metrics.append(row)
             cdelta["decode_failed"] += row[3]
         pending["_futs"]["log"].result()
+        # the frontier parquet must be durable before the manifest
+        # rename names its version (resume reads it from disk)
+        pending["_futs"]["frontier"].result()
         # deferred bloom update must be durable before the manifest
         # rename (resume would otherwise see missing shard bits =
         # bloom false negatives, breaking SPEC-4 dedup)

@@ -26,6 +26,8 @@ Scale notes (the 100 TB / 10^10-URL design points, SURVEY §6):
 from __future__ import annotations
 
 import json
+import os
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -45,6 +47,12 @@ from spider_1_spark.reference_model.spider1_ref import image_id_of
 # sort key shared by every ordering decision (SPEC-3); url is a
 # tiebreak only (keys are unique by construction, see spider1_ref).
 KEY_COLS = ["depth", "parent_rank", "link_pos", "url"]
+
+def _prof(label: str) -> None:
+    """SPIDER1_PROFILE=1: timestamped marker around job boundaries."""
+    if os.environ.get("SPIDER1_PROFILE"):
+        print(f"[op-prof] {label}: @{time.time() % 10000:.1f}", flush=True)
+
 
 # budgets up to this take the salted-window path in candidate_set;
 # larger budgets (where salting cannot shrink anything) take the
@@ -284,7 +292,9 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
         .filter(F.col("np") > 1)
         .select("host")
     )
+    _prof("grouped_topk stats-collect start")
     stats = per.join(F.broadcast(spanning), "host", "left_semi").collect()
+    _prof("grouped_topk stats-collect done")
     offsets: dict[tuple[int, str], int] = {}
     per_host: dict[str, int] = {}
     for r in sorted(stats, key=lambda r: (r["host"], r["_pid"])):
@@ -342,10 +352,12 @@ def with_global_rank(
         .withColumn("_pid", F.spark_partition_id())
     )
     part = part.persist()
+    _prof("global_rank counts-collect start")
     counts = {
         r["_pid"]: r["cnt"]
         for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    _prof("global_rank counts-collect done")
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
