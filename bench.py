@@ -42,6 +42,11 @@ RELATIONAL_KEYS = [
 ]
 
 
+_FAIR_XML = os.path.join(
+    REPO_ROOT, "spider_1_spark", "engine", "fairscheduler.xml"
+)
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -56,6 +61,11 @@ def build_spark(cpus: int):
         # 0.8GB at 16 tasks)
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", "48g")
+        # wave pipelining: next wave's critical jobs must not FIFO-queue
+        # behind the previous wave's lagging sink writes (see
+        # engine/fairscheduler.xml for pool weights + measurements)
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", _FAIR_XML)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

@@ -8,6 +8,7 @@ import time
 from pyspark.sql import SparkSession
 
 from spider_1_spark.engine import Policy, SparkCrawler
+from spider_1_spark.engine.crawler import FAIR_SCHEDULER_XML
 from spider_1_spark.fixtures.webgen import SyntheticWeb, make_seeds
 from spider_1_spark.reference_model import spider1_ref as ref
 
@@ -18,6 +19,8 @@ def main():
         .appName("smoke")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", FAIR_SCHEDULER_XML)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

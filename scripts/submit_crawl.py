@@ -35,7 +35,17 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("spider1-crawl").getOrCreate()
+    from spider_1_spark.engine.crawler import FAIR_SCHEDULER_XML
+
+    # FAIR pools keep each wave's critical path ahead of the previous
+    # wave's lagging sink writes; on a real cluster ship the xml with
+    # --files and point the conf at the distributed copy instead.
+    spark = (
+        SparkSession.builder.appName("spider1-crawl")
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", FAIR_SCHEDULER_XML)
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     from spider_1_spark.engine import Policy, SparkCrawler

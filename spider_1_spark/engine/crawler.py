@@ -41,6 +41,7 @@ joins + column expressions — no sequential scan anywhere.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
@@ -52,6 +53,18 @@ from spider_1_spark.engine.state import HOSTS_SCHEMA, METRICS_SCHEMA
 from spider_1_spark.reference_model.spider1_ref import COUNTER_NAMES, Policy
 
 KEY = ops.KEY_COLS  # depth, parent_rank, link_pos, url
+
+# Scheduler pools for wave pipelining (see fairscheduler.xml for the
+# measured FIFO-starvation failure mode).  Sessions opt in with
+#   spark.scheduler.mode=FAIR
+#   spark.scheduler.allocation.file=FAIR_SCHEDULER_XML
+# The engine tags every driver thread's jobs with a pool either way;
+# under the default FIFO scheduler the tags are inert.
+FAIR_SCHEDULER_XML = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"
+)
+CRITICAL_POOL = "critical"  # jobs the wave (or next wave) blocks on
+LAGGING_POOL = "lagging"  # sink writes joined only at commit
 
 
 def _release_cached(df: DataFrame) -> None:
@@ -222,6 +235,10 @@ class SparkCrawler:
         waves_run = 0
         pending: dict | None = None
         latest = manifest  # last COMMITTED manifest
+        # the loop thread drives every critical-path job
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", CRITICAL_POOL
+        )
         try:
             while not (
                 pending["done"] if pending is not None else latest["done"]
@@ -285,6 +302,23 @@ class SparkCrawler:
                 flush=True,
             )
             self._prof_t = now
+
+    def _branch(self, pool_name: str, fn):
+        """Tag a branch thread's Spark jobs with a scheduler pool.
+
+        Pool local-properties are per-thread and executor threads are
+        reused across branches with different pools, so each branch
+        must (re)set its own at entry — thread-creation inheritance
+        cannot be relied on.
+        """
+        sc = self.spark.sparkContext
+
+        def wrapped(*a, **kw):
+            sc.setLocalProperty("spark.scheduler.pool", pool_name)
+            return fn(*a, **kw)
+
+        wrapped.__name__ = getattr(fn, "__name__", "branch")
+        return wrapped
 
     @staticmethod
     def _timed(fn):
@@ -584,11 +618,11 @@ class SparkCrawler:
         def fh_branch() -> int:
             return fh.count()
 
-        fut_fh = pool.submit(self._timed(fh_branch))
-        fut_robots = pool.submit(self._timed(robots_branch))
-        fut_log = pool.submit(self._timed(log_branch))
-        fut_gate = pool.submit(self._timed(gate_branch))
-        fut_hosts = pool.submit(self._timed(hosts_branch))
+        fut_fh = pool.submit(self._timed(self._branch(CRITICAL_POOL, fh_branch)))
+        fut_robots = pool.submit(self._timed(self._branch(LAGGING_POOL, robots_branch)))
+        fut_log = pool.submit(self._timed(self._branch(LAGGING_POOL, log_branch)))
+        fut_gate = pool.submit(self._timed(self._branch(CRITICAL_POOL, gate_branch)))
+        fut_hosts = pool.submit(self._timed(self._branch(CRITICAL_POOL, hosts_branch)))
         self._prof("fork-side-branches")
 
         # the PREVIOUS wave's deferred bloom update must be durable
@@ -789,14 +823,14 @@ class SparkCrawler:
                 ),
             )
 
-        fut_images = pool.submit(self._timed(images_branch))
-        fut_seen = pool.submit(self._timed(seen_branch))
+        fut_images = pool.submit(self._timed(self._branch(LAGGING_POOL, images_branch)))
+        fut_seen = pool.submit(self._timed(self._branch(CRITICAL_POOL, seen_branch)))
 
         def bloom_after_seen() -> None:
             fut_seen.result()
             bloom_branch()
 
-        fut_bloom = pool.submit(self._timed(bloom_after_seen))
+        fut_bloom = pool.submit(self._timed(self._branch(LAGGING_POOL, bloom_after_seen)))
         # gate result gates the frontier write (deferred rows)
         rest, gate_rows = fut_gate.result()
         for _, pid, status, n in gate_rows:
@@ -811,7 +845,10 @@ class SparkCrawler:
         # tail), and on block loss the recovery is resume-from-
         # manifest, same as fetchset.
         next_frontier = _next_frontier(rest).localCheckpoint(eager=False)
-        fut_frontier = pool.submit(self._timed(frontier_branch), next_frontier)
+        fut_frontier = pool.submit(
+            self._timed(self._branch(LAGGING_POOL, frontier_branch)),
+            next_frontier,
+        )
         self._prof("gate-join")
 
         # --- join the branches the NEXT wave reads -------------------

@@ -33,6 +33,13 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.maxPlanStringLength", "1000000")
+        .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(
+                REPO_ROOT, "spider_1_spark", "engine", "fairscheduler.xml"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
         .getOrCreate()
