@@ -63,8 +63,13 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         # wave pipelining: next wave's critical jobs must not FIFO-queue
         # behind the previous wave's lagging sink writes (see
-        # engine/fairscheduler.xml for pool weights + measurements)
-        .config("spark.scheduler.mode", "FAIR")
+        # engine/fairscheduler.xml for pool weights + measurements).
+        # SPARK_GRAFT_SCHED=fifo disables for A/B runs on this VM,
+        # whose throughput drifts too much for cross-batch comparison.
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHED", "fair").upper(),
+        )
         .config("spark.scheduler.allocation.file", _FAIR_XML)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -151,6 +156,12 @@ def main() -> int:
                 ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip() or None
+            if commit and subprocess.run(
+                ["git", "-C", REPO_ROOT, "diff", "--quiet", "HEAD", "--",
+                 "spider_1_spark", "bench.py"],
+                timeout=10,
+            ).returncode != 0:
+                commit += "-dirty"  # uncommitted engine changes
         except Exception:
             commit = None
         out = {

@@ -26,7 +26,7 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                if fn.endswith((".py", ".xml")):  # + fairscheduler.xml
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, REPO))
     print(out)

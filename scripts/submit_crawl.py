@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -35,15 +36,31 @@ def main(argv=None) -> int:
 
     from pyspark.sql import SparkSession
 
+    # FAIR pools keep each wave's critical path ahead of the previous
+    # wave's lagging sink writes (engine/fairscheduler.xml).  The
+    # allocation file is driver-side only, but when the package ships
+    # as a --py-files zip its data files are zip-internal paths Spark
+    # cannot open — extract to a real file first.
     from spider_1_spark.engine.crawler import FAIR_SCHEDULER_XML
 
-    # FAIR pools keep each wave's critical path ahead of the previous
-    # wave's lagging sink writes; on a real cluster ship the xml with
-    # --files and point the conf at the distributed copy instead.
+    fair_xml = FAIR_SCHEDULER_XML
+    if not os.path.isfile(fair_xml):
+        import importlib.resources
+        import tempfile
+
+        data = (
+            importlib.resources.files("spider_1_spark.engine")
+            .joinpath("fairscheduler.xml")
+            .read_bytes()
+        )
+        fd, fair_xml = tempfile.mkstemp(suffix=".xml", prefix="fairsched")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+
     spark = (
         SparkSession.builder.appName("spider1-crawl")
         .config("spark.scheduler.mode", "FAIR")
-        .config("spark.scheduler.allocation.file", FAIR_SCHEDULER_XML)
+        .config("spark.scheduler.allocation.file", fair_xml)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
