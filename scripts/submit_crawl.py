@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     p.add_argument("--host-cap", type=int, default=1 << 40)
     p.add_argument("--global-budget", type=int, default=1 << 40)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-waves", type=int, default=None,
+                   help="stop after N waves (resumable later)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +66,17 @@ def main(argv=None) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
+    # Spark's 200-partition default makes every per-wave job pay
+    # 200-task scheduling overhead on small clusters (measured: ~2.3
+    # min/wave at local[4] vs ~15 s with a parallelism-derived count).
+    # Respect an explicit --conf; otherwise size to the cluster.
+    if not spark.sparkContext.getConf().contains(
+        "spark.sql.shuffle.partitions"
+    ):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(2 * spark.sparkContext.defaultParallelism),
+        )
 
     from spider_1_spark.engine import Policy, SparkCrawler
     from spider_1_spark.fixtures.webgen import SyntheticWeb
@@ -79,9 +92,11 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
     if args.resume:
-        art = crawler.resume()
+        art = crawler.resume(max_waves=args.max_waves)
     else:
-        art = crawler.run_frontier(spark.read.parquet(args.frontier))
+        art = crawler.run_frontier(
+            spark.read.parquet(args.frontier), max_waves=args.max_waves
+        )
     out = {
         "elapsed_s": round(time.time() - t0, 2),
         "n_waves": art.n_waves,
