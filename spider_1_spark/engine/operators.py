@@ -334,7 +334,15 @@ def with_global_rank(
 
     Phase 1 range-partitions + sorts; phase 2 counts rows per partition
     (one tiny job, O(P) driver state) and adds ``offset + local_index``
-    in a ``mapInPandas`` pass over the cached sorted partitions.  No
+    entirely JVM-side: ``monotonically_increasing_id`` on the cached
+    sorted partitions is ``(pid << 33) + row_index`` with a CONSECUTIVE
+    0-based row index per partition, so
+    ``g = global_offset[pid] + (mid - min_mid[pid])`` — no Python/Arrow
+    crossing (the previous mapInPandas pass round-tripped every
+    candidate row through a Python worker once per wave; r2 profile
+    showed the schedule+rank span flat at ~13 s across 4→16 cores).
+    ``min(mid)`` is collected alongside the counts — same single tiny
+    job, and subtracting it avoids baking in the bit layout.  No
     single-partition Window — this is the piece that survives a
     10^10-row frontier.
     """
@@ -342,47 +350,54 @@ def with_global_rank(
         num_partitions = max(
             1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
-    # partition id stored as a column at cache-materialization time —
-    # NOT TaskContext.partitionId() at rank time, whose value shifts
-    # if a later narrow stage pipelines this frame into a union (see
-    # _grouped_topk docstring for the failure mode)
+    # partition id + row id stored as COLUMNS at cache-materialization
+    # time — NOT TaskContext.partitionId() at rank time, whose value
+    # shifts if a later narrow stage pipelines this frame into a union
+    # (see _grouped_topk docstring for the failure mode).  Both are
+    # deterministic: the range partitioning and the within-partition
+    # sort fix each row's (partition, position).
     part = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
     )
     part = part.persist()
     _prof("global_rank counts-collect start")
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    stats = {
+        r["_pid"]: (r["cnt"], r["m0"])
+        for r in part.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"), F.min("_mid").alias("m0"))
+        .collect()
     }
     _prof("global_rank counts-collect done")
-    offsets: dict[int, int] = {}
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_b = spark.sparkContext.broadcast(offsets)
-
-    out_schema = T.StructType(
-        part.schema.fields + [T.StructField(out_col, T.LongType())]
-    )
-
-    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offs = off_b.value
-        n_by_pid: dict[int, int] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.copy()
-            pid = int(pdf["_pid"].iloc[0])
-            n = n_by_pid.get(pid, 0)
-            pdf[out_col] = range(offs.get(pid, 0) + n, offs.get(pid, 0) + n + len(pdf))
-            n_by_pid[pid] = n + len(pdf)
-            yield pdf
-
-    ranked = part.mapInPandas(add_rank, out_schema).drop("_pid")
+    offs: dict[int, int] = {}  # pid -> (global offset - min mid)
+    for pid in sorted(stats):
+        cnt, m0 = stats[pid]
+        offs[pid] = acc - m0
+        acc += cnt
+    if len(offs) <= 64:
+        # per-row linear when-chain: zero extra plan nodes, fine for
+        # sandbox partition counts
+        expr = F.lit(0)
+        base = [
+            F.when(F.col("_pid") == pid, F.lit(off))
+            for pid, off in offs.items()
+        ]
+        if base:
+            expr = F.coalesce(*base, F.lit(0))
+        ranked = part.withColumn(out_col, F.col("_mid") + expr)
+    else:
+        # thousands of partitions (cluster scale): broadcast-join a
+        # tiny offsets frame instead of compiling a P-branch CASE
+        off_df = spark.createDataFrame(
+            list(offs.items()), "_pid int, _goff long"
+        )
+        ranked = part.join(F.broadcast(off_df), "_pid", "left").withColumn(
+            out_col, F.col("_mid") + F.coalesce(F.col("_goff"), F.lit(0))
+        ).drop("_goff")
+    ranked = ranked.drop("_pid", "_mid")
     ranked._rank_source = part  # handle for the caller to unpersist
     return ranked
 
