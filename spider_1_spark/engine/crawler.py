@@ -64,6 +64,7 @@ FAIR_SCHEDULER_XML = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"
 )
 CRITICAL_POOL = "critical"  # jobs the wave (or next wave) blocks on
+HARVEST_POOL = "harvest"  # overlapped fetch/decode stages (see below)
 LAGGING_POOL = "lagging"  # sink writes joined only at commit
 
 
@@ -373,7 +374,11 @@ class SparkCrawler:
         if frontier is None:
             frontier = st.read_version("frontier", v["frontier"])
         hosts = st.read_version("hosts", v["hosts"])
-        seen = st.read_delta_union("seen", v["seen"])  # append-only deltas
+        # NOTE: the seen delta-union plan is built inside harvest_run
+        # below, AFTER the previous wave's seen write is durable —
+        # read_delta_union skips not-yet-written version dirs at plan
+        # time, so building it here under harvest pipelining would
+        # silently drop the newest delta.
 
         # --- A11/SPEC-6: hosts enrichment + robots for new hosts -----
         # ONE left join against the hosts table yields both the
@@ -479,11 +484,28 @@ class SparkCrawler:
         # per-partition count right below is the single next action,
         # so it doubles as the materializing job.
         fetchset = fetchset.localCheckpoint(eager=False)
-        fetch_pc = self._pcount_rows(fetchset)
+        # ONE materializing job: per-partition fetched counts (A20)
+        # plus the fetchset's min depth — the depth decides whether
+        # this wave can emit anchors at all (pipelining gate below)
+        fetch_rows = (
+            fetchset.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("n"), F.min("depth").alias("d"))
+            .collect()
+        )
+        fetch_pc = [(int(r["partition_id"]), int(r["n"])) for r in fetch_rows]
+        min_depth = min((int(r["d"]) for r in fetch_rows), default=None)
         for pid, n in fetch_pc:
             metrics.append(("fetch", pid, "fetched", n))
         n_fetched = sum(n for _, n in fetch_pc)
         cdelta["fetched"] += n_fetched
+        # No fetched page sits above max_depth-1 => no extracted anchor
+        # survives SPEC-7, so the next frontier is EXACTLY this wave's
+        # deferred rows — which depend only on the politeness gate, not
+        # on the fetch.  That decouples the next wave's schedule+rank
+        # chain from this wave's fetch/decode stage (the "frontier
+        # processing" regime: image harvesting over a pre-built
+        # frontier, and every crawl's final depth tier).
+        no_anchor = min_depth is None or min_depth >= pol.max_depth
         # n_cand >= remaining  <=>  the G budget ran out mid-wave
         exhausted = n_fetched == remaining
         if exhausted:
@@ -506,10 +528,13 @@ class SparkCrawler:
         # before concurrent consumers fork, so nothing computes twice.
         # Completion order never affects results: the manifest rename
         # at the end is still the single sequential commit (SPEC-12).
-        # one worker per branch (9 submissions/wave): bloom_after_seen
-        # BLOCKS on fut_seen while holding a worker, so the pool must
-        # never be so small that seen_branch is left queued behind it
-        pool = ThreadPoolExecutor(max_workers=10)
+        # one worker per branch (≤10 live submissions/wave: fh, robots,
+        # log, gate, hosts, frontier, harvest + the harvest's images/
+        # seen/bloom).  bloom_after_seen BLOCKS on fut_seen while
+        # holding a worker, and the harvest thread holds one while
+        # submitting three more, so the pool must stay comfortably
+        # above the live count or a queued dependency deadlocks it
+        pool = ThreadPoolExecutor(max_workers=12)
         self._active_pool = pool  # drained by _loop on mid-wave failure
 
         def robots_branch() -> list[tuple]:
@@ -625,160 +650,223 @@ class SparkCrawler:
         fut_hosts = pool.submit(self._timed(self._branch(CRITICAL_POOL, hosts_branch)))
         self._prof("fork-side-branches")
 
-        # the PREVIOUS wave's deferred bloom update must be durable
-        # before this wave's fetch stage probes the shards (SPEC-4
-        # zero-false-negative guarantee)
-        prev_bloom = src.get("_fut_bloom")
-        if prev_bloom is not None:
-            prev_bloom.result()
+        def harvest_run() -> dict:
+            """A12–A18: fetch → extract → dedup → seen/bloom/images.
 
-        # --- A12/A13(+A2+A6): fused fetch+extract+canonicalize+bloom -
-        # (main thread — the dominant Python stage of the wave)
-        if self.use_bloom and self.aligned_probe:
-            from spider_1_spark.engine import bloom as bloom_mod
+            Runs INLINE on the loop thread when this wave can emit
+            anchors (the next frontier then needs ``fresh``), and on a
+            pool thread (HARVEST_POOL) when it cannot (``no_anchor``):
+            the loop then schedules wave w+1's entire schedule+rank
+            chain WHILE this wave fetches/decodes — the profile showed
+            those chains serializing ~35 s of a 4-wave 10^6 run at
+            local[16] against otherwise-idle cores.
 
-            refs = ops.fetch_extract(fetchset, self.web_b, bloom=None)
-            refs = bloom_mod.probe(
-                refs.drop("maybe_seen"), self.bloom, v["seen"]
-            )
-        else:
-            refs = ops.fetch_extract(
-                fetchset,
-                self.web_b,
-                bloom=self.bloom if self.use_bloom else None,
-                bloom_version=v["seen"],
-            )
-        refs = refs.persist()
+            Cross-wave dependencies are waited HERE, not at wave
+            entry: (a) the previous wave's bloom shard update must be
+            durable before this wave's fused probe (SPEC-4 zero false
+            negatives); (b) the previous wave's seen DELTA must be
+            durable before the delta-union plan is *built* —
+            read_delta_union skips not-yet-written version dirs at
+            plan time, so an early plan would silently drop the
+            newest delta and double-crawl its URLs.
+            """
+            prev_h = src.get("_fut_harvest")
+            if prev_h is not None:
+                ph = prev_h.result()
+                ph["fut_seen"].result()
+                ph["fut_bloom"].result()
+            seen = st.read_delta_union("seen", v["seen"])
+            hmetrics: list[tuple] = []
+            hdelta = {"deduped": 0}
 
-        # seen gate (A7): ONLY maybe-seen rows are joined against the
-        # seen table (bloom-negative rows are definitely new — zero
-        # false negatives by construction); a single left join serves
-        # both the dup counter and the new-ref filter.
-        seen_urls = seen.select("url")
-        maybe = refs.filter(F.col("maybe_seen")).drop("maybe_seen")
-        sure_new = refs.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        marked = maybe.join(
-            seen_urls.withColumn("_seen", F.lit(True)), "url", "left"
-        ).persist()
-        dup_seen = marked.filter(F.col("_seen").isNotNull())
-        new_refs = sure_new.unionByName(
-            marked.filter(F.col("_seen").isNull()).drop("_seen")
-        )
-
-        # beyond-max_depth anchors vanish silently BEFORE intra-wave
-        # dedup (oracle inserts nothing into seen for them — SPEC-7)
-        new_refs = new_refs.filter(
-            ~(
-                (F.col("kind") == "a")
-                & (F.col("parent_depth") + 1 > F.lit(pol.max_depth))
-            )
-        )
-        # A8 intra-wave dedup: first discovery by (seq, pos) wins.
-        # Hash aggregate (min_by) instead of a sort window: partial
-        # map-side combine collapses duplicate URLs before the shuffle
-        # — the sort-based row_number variant shuffled every ref.
-        grouped = new_refs.groupBy("url").agg(
-            F.min_by(
-                F.struct("parent_depth", "seq", "pos", "kind", "caption"),
-                F.struct("seq", "pos"),
-            ).alias("first"),
-            F.count("*").alias("n_occ"),
-        )
-        grouped = grouped.persist()
-        pidc = F.spark_partition_id().alias("partition_id")
-        # ONE job: already-seen dups + intra-wave dups per partition,
-        # plus the count of next-frontier anchors in `fresh` — the
-        # latter (with the gate's deferred count) decides frontier
-        # emptiness WITHOUT waiting for the frontier parquet write,
-        # which this lets lag to commit time like the log/image sinks.
-        n_anchor_next = 0
-        rows = (
-            dup_seen.groupBy(pidc)
-            .agg(F.count("*").cast("long").alias("n"))
-            .withColumn("m", F.lit("dedup"))
-            .unionAll(
-                grouped.groupBy(pidc)
-                .agg(F.sum(F.col("n_occ") - 1).cast("long").alias("n"))
-                .withColumn("m", F.lit("dedup"))
-            )
-            .unionAll(
-                grouped.filter(F.col("first.kind") == "a")
-                .groupBy(pidc)
-                .agg(F.count("*").cast("long").alias("n"))
-                .withColumn("m", F.lit("anchors"))
-            )
-            .groupBy("partition_id", "m")
-            .agg(F.sum("n").alias("n"))
-            .collect()
-        )
-        for r in rows:
-            n = int(r["n"] or 0)
-            if r["m"] == "anchors":
-                n_anchor_next += n
-            elif n:
-                metrics.append(("dedup", int(r["partition_id"]), "deduped", n))
-                cdelta["deduped"] += n
-        self._prof("dedup")
-        fresh = grouped.select("url", "first.*")
-        fresh = ops.with_host(fresh).persist()
-        # materialize ONCE before three concurrent consumers fork —
-        # a cold persisted frame hit by parallel jobs computes per-job
-        fresh.count()
-        self._prof("fresh-materialize")
-
-        def images_branch():
-            """A14/A15/A16: decode + verify + phash + sink append."""
-            img_refs = fresh.filter(F.col("kind") == "img")
-            decoded = ops.decode_images(img_refs, self.web_b).persist()
-            rows = [
-                ("decode", pid, "decode_failed", n)
-                for pid, n in self._pcount_rows(decoded.filter(~F.col("ok")))
-            ]
-            st.write_wave(
-                "images",
-                wave,
-                decoded.filter(F.col("ok")).select(
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
-                ),
-            )
-            decoded.unpersist()
-            return rows
-
-        def seen_branch() -> None:
-            # delta write: only this wave's new URLs (append-only)
-            seen_new = fresh.select(
-                "url",
-                "host_hash",
-                F.lit(wave).alias("first_wave"),
-                (F.col("parent_depth") + 1).alias("depth"),
-                F.col("seq").alias("parent_rank"),
-                F.col("pos").alias("link_pos"),
-            )
-            st.write_version("seen", v["seen"] + 1, seen_new)
-
-        def bloom_branch() -> None:
-            # A18: OR the new URLs' bits into the bloom shards.  Runs
-            # AFTER the seen write but outside the critical join: the
-            # next wave needs the shards only at its FETCH stage (the
-            # probe is fused there), not at schedule time — so this
-            # overlaps the next wave's schedule/rank.  It MUST complete
-            # before this wave's manifest commit: a committed manifest
-            # with missing shard bits would give the resume path bloom
-            # false negatives, which the exact join never sees
-            # (zero-false-negative property is correctness, SPEC-4).
-            if self.use_bloom:
+            # --- A12/A13(+A2+A6): fused fetch+extract+canon+bloom ---
+            if self.use_bloom and self.aligned_probe:
                 from spider_1_spark.engine import bloom as bloom_mod
 
-                bloom_mod.update(
-                    st.read_version("seen", v["seen"] + 1).select("url"),
-                    self.bloom,
-                    v["seen"],
-                    v["seen"] + 1,
+                refs = ops.fetch_extract(fetchset, self.web_b, bloom=None)
+                refs = bloom_mod.probe(
+                    refs.drop("maybe_seen"), self.bloom, v["seen"]
                 )
+            else:
+                refs = ops.fetch_extract(
+                    fetchset,
+                    self.web_b,
+                    bloom=self.bloom if self.use_bloom else None,
+                    bloom_version=v["seen"],
+                )
+            refs = refs.persist()
 
-        def _next_frontier(rest: DataFrame) -> DataFrame:
+            # seen gate (A7): ONLY maybe-seen rows are joined against
+            # the seen table (bloom-negative rows are definitely new —
+            # zero false negatives by construction); a single left
+            # join serves both the dup counter and the new-ref filter.
+            seen_urls = seen.select("url")
+            maybe = refs.filter(F.col("maybe_seen")).drop("maybe_seen")
+            sure_new = refs.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            marked = maybe.join(
+                seen_urls.withColumn("_seen", F.lit(True)), "url", "left"
+            ).persist()
+            dup_seen = marked.filter(F.col("_seen").isNotNull())
+            new_refs = sure_new.unionByName(
+                marked.filter(F.col("_seen").isNull()).drop("_seen")
+            )
+
+            # beyond-max_depth anchors vanish silently BEFORE
+            # intra-wave dedup (oracle inserts nothing into seen for
+            # them — SPEC-7)
+            new_refs = new_refs.filter(
+                ~(
+                    (F.col("kind") == "a")
+                    & (F.col("parent_depth") + 1 > F.lit(pol.max_depth))
+                )
+            )
+            # A8 intra-wave dedup: first discovery by (seq, pos) wins.
+            # Hash aggregate (min_by) instead of a sort window: partial
+            # map-side combine collapses duplicate URLs before the
+            # shuffle — the sort-based row_number variant shuffled
+            # every ref.
+            grouped = new_refs.groupBy("url").agg(
+                F.min_by(
+                    F.struct("parent_depth", "seq", "pos", "kind", "caption"),
+                    F.struct("seq", "pos"),
+                ).alias("first"),
+                F.count("*").alias("n_occ"),
+            )
+            grouped = grouped.persist()
+            pidc = F.spark_partition_id().alias("partition_id")
+            # ONE job: already-seen dups + intra-wave dups per
+            # partition, plus the count of next-frontier anchors in
+            # `fresh` — the latter (with the gate's deferred count)
+            # decides frontier emptiness WITHOUT waiting for the
+            # frontier parquet write.
+            n_anchor_next = 0
+            rows = (
+                dup_seen.groupBy(pidc)
+                .agg(F.count("*").cast("long").alias("n"))
+                .withColumn("m", F.lit("dedup"))
+                .unionAll(
+                    grouped.groupBy(pidc)
+                    .agg(F.sum(F.col("n_occ") - 1).cast("long").alias("n"))
+                    .withColumn("m", F.lit("dedup"))
+                )
+                .unionAll(
+                    grouped.filter(F.col("first.kind") == "a")
+                    .groupBy(pidc)
+                    .agg(F.count("*").cast("long").alias("n"))
+                    .withColumn("m", F.lit("anchors"))
+                )
+                .groupBy("partition_id", "m")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            )
+            for r in rows:
+                n = int(r["n"] or 0)
+                if r["m"] == "anchors":
+                    n_anchor_next += n
+                elif n:
+                    hmetrics.append(
+                        ("dedup", int(r["partition_id"]), "deduped", n)
+                    )
+                    hdelta["deduped"] += n
+            self._prof("dedup")
+            fresh = grouped.select("url", "first.*")
+            fresh = ops.with_host(fresh).persist()
+            # materialize ONCE before three concurrent consumers fork —
+            # a cold persisted frame hit by parallel jobs computes
+            # per-job
+            fresh.count()
+            self._prof("fresh-materialize")
+
+            def images_branch():
+                """A14/A15/A16: decode + verify + phash + sink."""
+                img_refs = fresh.filter(F.col("kind") == "img")
+                decoded = ops.decode_images(img_refs, self.web_b).persist()
+                rows = [
+                    ("decode", pid, "decode_failed", n)
+                    for pid, n in self._pcount_rows(
+                        decoded.filter(~F.col("ok"))
+                    )
+                ]
+                st.write_wave(
+                    "images",
+                    wave,
+                    decoded.filter(F.col("ok")).select(
+                        "image_id", "bytes", "w", "h", "fmt", "caption",
+                        "phash",
+                    ),
+                )
+                decoded.unpersist()
+                return rows
+
+            def seen_branch() -> None:
+                # delta write: only this wave's new URLs (append-only)
+                seen_new = fresh.select(
+                    "url",
+                    "host_hash",
+                    F.lit(wave).alias("first_wave"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                    F.col("seq").alias("parent_rank"),
+                    F.col("pos").alias("link_pos"),
+                )
+                st.write_version("seen", v["seen"] + 1, seen_new)
+
+            def bloom_branch() -> None:
+                # A18: OR the new URLs' bits into the bloom shards.
+                # Runs AFTER the seen write but outside the critical
+                # join: the next wave needs the shards only at its
+                # FETCH stage, not at schedule time.  It MUST complete
+                # before this wave's manifest commit: a committed
+                # manifest with missing shard bits would give the
+                # resume path bloom false negatives (SPEC-4).
+                if self.use_bloom:
+                    from spider_1_spark.engine import bloom as bloom_mod
+
+                    bloom_mod.update(
+                        st.read_version("seen", v["seen"] + 1).select("url"),
+                        self.bloom,
+                        v["seen"],
+                        v["seen"] + 1,
+                    )
+
+            fut_images = pool.submit(
+                self._timed(self._branch(LAGGING_POOL, images_branch))
+            )
+            fut_seen = pool.submit(
+                self._timed(self._branch(CRITICAL_POOL, seen_branch))
+            )
+
+            def bloom_after_seen() -> None:
+                fut_seen.result()
+                bloom_branch()
+
+            fut_bloom = pool.submit(
+                self._timed(self._branch(LAGGING_POOL, bloom_after_seen))
+            )
+            return {
+                "metrics": hmetrics,
+                "cdelta": hdelta,
+                "n_anchor": n_anchor_next,
+                "fresh": fresh,
+                "fut_images": fut_images,
+                "fut_seen": fut_seen,
+                "fut_bloom": fut_bloom,
+                "unpersist": [refs, marked, grouped, fresh],
+            }
+
+        def _deferred_frontier(rest: DataFrame) -> DataFrame:
+            return rest.filter(F.col("status") == "deferred").select(
+                "url",
+                "host",
+                "host_hash",
+                "depth",
+                "parent_rank",
+                "link_pos",
+                "discovered_wave",
+                F.lit("DEFERRED").alias("state"),
+            )
+
+        def _next_frontier(rest: DataFrame, fresh: DataFrame) -> DataFrame:
             # next frontier = fresh anchors at depth+1  ∪  deferred
-            deferred = rest.filter(F.col("status") == "deferred")
             return (
                 fresh.filter(F.col("kind") == "a")
                 .select(
@@ -791,18 +879,7 @@ class SparkCrawler:
                     F.lit(wave).alias("discovered_wave"),
                     F.lit("PENDING").alias("state"),
                 )
-                .unionByName(
-                    deferred.select(
-                        "url",
-                        "host",
-                        "host_hash",
-                        "depth",
-                        "parent_rank",
-                        "link_pos",
-                        "discovered_wave",
-                        F.lit("DEFERRED").alias("state"),
-                    )
-                )
+                .unionByName(_deferred_frontier(rest))
             )
 
         def frontier_branch(nf: DataFrame) -> None:
@@ -811,8 +888,7 @@ class SparkCrawler:
             # This write LAGS: the next wave consumes the in-memory
             # handoff plan, so only the commit (and resume) depends on
             # the parquet — it overlaps the next wave's critical path
-            # exactly like the log/image sinks (r2 profile: the write
-            # was the single longest critical-path wait of a wave).
+            # exactly like the log/image sinks.
             st.write_version(
                 "frontier",
                 v["frontier"] + 1,
@@ -823,19 +899,38 @@ class SparkCrawler:
                 ),
             )
 
-        fut_images = pool.submit(self._timed(self._branch(LAGGING_POOL, images_branch)))
-        fut_seen = pool.submit(self._timed(self._branch(CRITICAL_POOL, seen_branch)))
+        if no_anchor:
+            # ---- depth-exhausted pipelining: the next frontier is
+            # exactly this wave's deferred rows, so it closes from the
+            # GATE alone; the fetch/decode stage moves to a pool
+            # thread and overlaps the next wave's schedule+rank.
+            fut_harvest = pool.submit(
+                self._timed(self._branch(HARVEST_POOL, harvest_run))
+            )
+            rest, gate_rows = fut_gate.result()
+            for _, pid, status, n in gate_rows:
+                cdelta[status] += n
+            metrics.extend(gate_rows)
+            H = None
+            n_anchor_next = 0
+        else:
+            # anchors possible: the next frontier needs `fresh`, so
+            # the harvest runs inline (the pre-r2 shape).
+            from concurrent.futures import Future
 
-        def bloom_after_seen() -> None:
-            fut_seen.result()
-            bloom_branch()
+            fut_harvest = Future()
+            try:
+                fut_harvest.set_result(harvest_run())
+            except BaseException as e:
+                fut_harvest.set_exception(e)
+                raise
+            H = fut_harvest.result()
+            rest, gate_rows = fut_gate.result()
+            for _, pid, status, n in gate_rows:
+                cdelta[status] += n
+            metrics.extend(gate_rows)
+            n_anchor_next = H["n_anchor"]
 
-        fut_bloom = pool.submit(self._timed(self._branch(LAGGING_POOL, bloom_after_seen)))
-        # gate result gates the frontier write (deferred rows)
-        rest, gate_rows = fut_gate.result()
-        for _, pid, status, n in gate_rows:
-            cdelta[status] += n
-        metrics.extend(gate_rows)
         # lazy localCheckpoint: truncates the LOGICAL plan to a
         # LogicalRDD — without it the handoff chains every prior
         # wave's plan into the next (geometric plan growth; the
@@ -844,7 +939,12 @@ class SparkCrawler:
         # blocks; released at the NEXT wave's commit (or the loop
         # tail), and on block loss the recovery is resume-from-
         # manifest, same as fetchset.
-        next_frontier = _next_frontier(rest).localCheckpoint(eager=False)
+        nf_plan = (
+            _deferred_frontier(rest)
+            if H is None
+            else _next_frontier(rest, H["fresh"])
+        )
+        next_frontier = nf_plan.localCheckpoint(eager=False)
         fut_frontier = pool.submit(
             self._timed(self._branch(LAGGING_POOL, frontier_branch)),
             next_frontier,
@@ -852,8 +952,9 @@ class SparkCrawler:
         self._prof("gate-join")
 
         # --- join the branches the NEXT wave reads -------------------
+        # (seen/bloom are NOT joined here: the next wave's harvest
+        # waits on them via _fut_harvest before building its plans)
         n_new = fut_hosts.result()
-        fut_seen.result()
         # frontier emptiness from already-collected counters — the
         # next-frontier rows are EXACTLY fresh anchors + deferred, so
         # no job (and no wait on the lagging write) is needed
@@ -881,16 +982,15 @@ class SparkCrawler:
             "_futs": {
                 "robots": fut_robots,
                 "log": fut_log,
-                "images": fut_images,
                 "frontier": fut_frontier,
             },
-            "_fut_bloom": fut_bloom,
+            "_fut_harvest": fut_harvest,
             "_pool": pool,
             "_metrics": metrics,
             "_cdelta": cdelta,
             "_unpersist": [
-                fr, new_host_rows, fetchset, fh, rest, refs, marked,
-                grouped, fresh, ranked._rank_source,
+                fr, new_host_rows, fetchset, fh, rest,
+                ranked._rank_source,
                 getattr(cand, "_aux_persist", None),
                 # the PREVIOUS wave's frontier handoff: fully consumed
                 # once this wave's fr is materialized and that wave's
@@ -909,20 +1009,28 @@ class SparkCrawler:
         wave = pending["wave_id"]
         metrics = pending["_metrics"]
         cdelta = pending["_cdelta"]
+        # the harvest (fetch/dedup/seen/images/bloom) may still be
+        # running under depth-exhausted pipelining — join it first,
+        # then its sub-branches
+        H = pending["_fut_harvest"].result()
+        metrics.extend(H["metrics"])
+        for k, n in H["cdelta"].items():
+            cdelta[k] = cdelta.get(k, 0) + n
         for row in pending["_futs"]["robots"].result():
             metrics.append(row)
             cdelta["robots_blocked"] += row[3]
-        for row in pending["_futs"]["images"].result():
+        for row in H["fut_images"].result():
             metrics.append(row)
             cdelta["decode_failed"] += row[3]
         pending["_futs"]["log"].result()
         # the frontier parquet must be durable before the manifest
         # rename names its version (resume reads it from disk)
         pending["_futs"]["frontier"].result()
-        # deferred bloom update must be durable before the manifest
-        # rename (resume would otherwise see missing shard bits =
-        # bloom false negatives, breaking SPEC-4 dedup)
-        pending["_fut_bloom"].result()
+        # seen delta + deferred bloom update must be durable before
+        # the manifest rename (resume would otherwise see missing
+        # shard bits = bloom false negatives, breaking SPEC-4 dedup)
+        H["fut_seen"].result()
+        H["fut_bloom"].result()
         pending["_pool"].shutdown(wait=True)
         st.write_wave("metrics", wave, self._metrics_df(wave, metrics))
 
@@ -939,7 +1047,7 @@ class SparkCrawler:
             "done": pending["done"],
         }
         st.commit(new_manifest)
-        for df in pending["_unpersist"]:
+        for df in pending["_unpersist"] + H["unpersist"]:
             if df is not None:
                 _release_cached(df)
         self._prof(f"w{wave} commit")
