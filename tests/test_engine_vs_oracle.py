@@ -124,3 +124,57 @@ def test_engine_matches_oracle_aligned_probe_path(spark):
     the same bit-for-bit artifacts as the default fused probe."""
     oracle, art = run_both(spark, "robots", aligned_probe=True)
     check_equal(oracle, art)
+
+
+def test_engine_matches_oracle_frontier_mode(spark):
+    """run_frontier + max_depth=0 — the BENCH regime (image harvesting
+    over a pre-built frontier).  Every wave of this mode takes the
+    depth-exhausted pipelined harvest path (crawler.py no_anchor):
+    wave w's fetch/decode runs on a pool thread while wave w+1's
+    schedule+rank chain executes, so this pins bit-for-bit equality of
+    ordering/seen/images/counters under that cross-wave concurrency.
+    The oracle equivalent is a plain seed crawl over the same URLs in
+    seed_rank order with the same policy."""
+    from spider_1_spark.fixtures.frontier_gen import frontier_frame
+
+    n_hosts, n_rows = 20, 2500
+    # B sized so the zipf hot host drains in ~4 politeness waves and
+    # deferred rows persist across 3+ waves (multiple pipelined
+    # handoffs, not a single-wave drain)
+    policy = Policy(
+        max_depth=0,
+        per_host_wave_budget=150,
+        per_host_total_cap=1 << 40,
+        global_page_budget=1 << 40,
+    )
+    web = SyntheticWeb(n_hosts)
+    frame = frontier_frame(spark, n_rows, n_hosts)
+    seeds = [
+        r.raw_url
+        for r in frame.orderBy("seed_rank").collect()
+    ]
+    oracle = ref.crawl(seeds, policy, web)
+    assert oracle.n_waves >= 3, "fixture must span several waves"
+    root = tempfile.mkdtemp(prefix="spider1_frontier_")
+    try:
+        art = SparkCrawler(spark, policy, web, root).run_frontier(frame)
+        got = (
+            sorted(
+                (r.seq, r.url, r.depth, r.parent_rank, r.link_pos, r.wave_id)
+                for r in art.crawl_log.collect()
+            ),
+            {
+                r.url: (r.first_wave, r.depth, r.parent_rank, r.link_pos)
+                for r in art.seen.collect()
+            },
+            sorted(
+                (r.image_id, bytes(r.bytes), r.w, r.h, r.fmt, r.caption, r.phash)
+                for r in art.images.collect()
+            ),
+            art.counters,
+            art.metrics.collect(),
+            art.n_waves,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    check_equal(oracle, got)
