@@ -449,6 +449,22 @@ class SparkCrawler:
         )
         fr = fr.withColumn("t0", F.coalesce(F.col("fetch_total"), F.lit(0)))
         fr = fr.persist()
+        # Materialize `fr` NOW, with the robots-blocked partition count
+        # the wave needs anyway (A20) — ONE linear job, before any
+        # other consumer exists.  The r1 shape computed this count on a
+        # lagging branch concurrent with the rank chain's first jobs,
+        # so 2-3 stages raced the COLD `fr` cache: at local[16] that
+        # measured 15-24x per-record JVM-CPU inflation (codegen-lock
+        # convoy + duplicate partition compute + unroll churn,
+        # BENCH/BASELINE.md §3d) and was invisible at local[4] — the
+        # single biggest contributor to the 4-vs-16 efficiency gap.
+        # Every downstream job (candidate ranking, gate, robots
+        # metrics) now reads `fr` warm.
+        robots_rows = [
+            ("robots", pid, "robots_blocked", n)
+            for pid, n in self._pcount_rows(fr.filter(~F.col("allowed")))
+        ]
+        self._prof("fr-materialize")
 
         allowed = fr.filter(F.col("allowed"))
 
@@ -538,11 +554,8 @@ class SparkCrawler:
         self._active_pool = pool  # drained by _loop on mid-wave failure
 
         def robots_branch() -> list[tuple]:
-            blocked = fr.filter(~F.col("allowed"))
-            return [
-                ("robots", pid, "robots_blocked", n)
-                for pid, n in self._pcount_rows(blocked)
-            ]
+            # computed up front as fr's materializing job (see above)
+            return robots_rows
 
         def log_branch() -> None:
             # fetchset is already range-partitioned + sorted by KEY and
@@ -734,40 +747,49 @@ class SparkCrawler:
             )
             grouped = grouped.persist()
             pidc = F.spark_partition_id().alias("partition_id")
-            # ONE job: already-seen dups + intra-wave dups per
-            # partition, plus the count of next-frontier anchors in
-            # `fresh` — the latter (with the gate's deferred count)
-            # decides frontier emptiness WITHOUT waiting for the
-            # frontier parquet write.
+            # Two SEQUENTIAL linear jobs instead of the r1 3-branch
+            # union: the union's map stages raced the COLD refs/
+            # marked/grouped caches — concurrent stages over a cold
+            # cached frame measured 15-24x per-record CPU inflation at
+            # local[16] (§3d), and here the duplicated partition
+            # compute is the Python fetch/extract stage itself, the
+            # wave's most expensive work.  Job 1 scans `marked`
+            # (materializing refs + marked — the fetch stage runs
+            # exactly once); job 2 aggregates `grouped` (built from
+            # the now-warm marked) in ONE scan yielding both the
+            # intra-wave dup counts and the next-wave anchor count —
+            # the latter (with the gate's deferred count) decides
+            # frontier emptiness WITHOUT waiting for the frontier
+            # parquet write.
             n_anchor_next = 0
-            rows = (
+            dedup_by_pid: dict[int, int] = {}
+            for r in (
                 dup_seen.groupBy(pidc)
                 .agg(F.count("*").cast("long").alias("n"))
-                .withColumn("m", F.lit("dedup"))
-                .unionAll(
-                    grouped.groupBy(pidc)
-                    .agg(F.sum(F.col("n_occ") - 1).cast("long").alias("n"))
-                    .withColumn("m", F.lit("dedup"))
-                )
-                .unionAll(
-                    grouped.filter(F.col("first.kind") == "a")
-                    .groupBy(pidc)
-                    .agg(F.count("*").cast("long").alias("n"))
-                    .withColumn("m", F.lit("anchors"))
-                )
-                .groupBy("partition_id", "m")
-                .agg(F.sum("n").alias("n"))
                 .collect()
-            )
-            for r in rows:
+            ):
                 n = int(r["n"] or 0)
-                if r["m"] == "anchors":
-                    n_anchor_next += n
-                elif n:
-                    hmetrics.append(
-                        ("dedup", int(r["partition_id"]), "deduped", n)
-                    )
-                    hdelta["deduped"] += n
+                if n:
+                    dedup_by_pid[int(r["partition_id"])] = n
+            self._prof("dedup-marked")
+            for r in (
+                grouped.groupBy(pidc)
+                .agg(
+                    F.sum(F.col("n_occ") - 1).cast("long").alias("dups"),
+                    F.sum(
+                        F.when(F.col("first.kind") == "a", 1).otherwise(0)
+                    ).cast("long").alias("anchors"),
+                )
+                .collect()
+            ):
+                n = int(r["dups"] or 0)
+                if n:
+                    pid = int(r["partition_id"])
+                    dedup_by_pid[pid] = dedup_by_pid.get(pid, 0) + n
+                n_anchor_next += int(r["anchors"] or 0)
+            for pid, n in sorted(dedup_by_pid.items()):
+                hmetrics.append(("dedup", pid, "deduped", n))
+                hdelta["deduped"] += n
             self._prof("dedup")
             fresh = grouped.select("url", "first.*")
             fresh = ops.with_host(fresh).persist()

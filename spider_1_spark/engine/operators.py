@@ -286,14 +286,23 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
     # at the 10^10-row design point; this collect is ≤ 2P rows by
     # construction, at ANY host count).
     per = part.groupBy("_pid", "host").agg(F.count("*").alias("cnt"))
-    spanning = (
-        per.groupBy("host")
-        .agg(F.count("*").alias("np"))
-        .filter(F.col("np") > 1)
-        .select("host")
-    )
+    # Spanning-host filter as a window over the TINY per frame: ONE
+    # linear job (scan part → agg → reshuffle ≤(hosts+P) rows →
+    # window → collect).  The r1 shape — per ⋈ broadcast(spanning) —
+    # put the broadcast-build stage and the probe stage of the SAME
+    # job onto the COLD `part`/input caches concurrently; racing a
+    # cold cached frame measured 15-24x per-record JVM-CPU inflation
+    # at local[16] (BENCH/BASELINE.md §3d) while being invisible at
+    # local[4].  This job is also `part`'s single cache-materializing
+    # job: everything downstream reads it warm.
     _prof("grouped_topk stats-collect start")
-    stats = per.join(F.broadcast(spanning), "host", "left_semi").collect()
+    w_span = Window.partitionBy("host")
+    stats = (
+        per.withColumn("np", F.count("*").over(w_span))
+        .filter(F.col("np") > 1)
+        .drop("np")
+        .collect()
+    )
     _prof("grouped_topk stats-collect done")
     offsets: dict[tuple[int, str], int] = {}
     per_host: dict[str, int] = {}
