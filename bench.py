@@ -50,8 +50,18 @@ _FAIR_XML = os.path.join(
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_MASTER overrides the master URL — used by the
+    # N-vs-4N scaling evidence to run REAL executor JVMs via
+    # local-cluster[n_execs,cores,mem_mb] (BENCH/BASELINE.md §3e):
+    # one shared JVM (local[N]) under-reports cluster scaling because
+    # allocation/lock contention grows with threads per JVM, which a
+    # per-executor-JVM deployment never sees.  Executors need
+    # PYTHONPATH explicitly (spawned worker processes do not inherit
+    # the driver's sys.path).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
         .appName("spider1-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -166,6 +176,7 @@ def main() -> int:
             commit = None
         out = {
             "commit": commit,
+            "master": os.environ.get("SPARK_GRAFT_MASTER"),
             "metric": "frontier_urls_per_sec",
             "value": crawl["urls_per_sec"],
             "unit": "urls/sec",
