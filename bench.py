@@ -62,6 +62,16 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(master)
         .config("spark.executorEnv.PYTHONPATH", REPO_ROOT)
+        # Multi-executor (local-cluster) runs fetch shuffle blocks over
+        # netty; a 10^7-row frontier at P=cores produces >200 MB blocks
+        # that OOM the executor heap when buffered in memory (observed:
+        # exit 52 at local-cluster[4,4,16384]).  Stream anything big to
+        # disk instead — inert for single-JVM local[N] masters.
+        .config("spark.network.maxRemoteBlockSizeFetchToMem", "64m")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .appName("spider1-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -70,7 +80,6 @@ def build_spark(cpus: int):
         # image payloads (measured: 0.93s/384MB vs 1.98s/432MB per
         # 0.8GB at 16 tasks)
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", "48g")
         # wave pipelining: next wave's critical jobs must not FIFO-queue
         # behind the previous wave's lagging sink writes (see
         # engine/fairscheduler.xml for pool weights + measurements).

@@ -466,7 +466,15 @@ class SparkCrawler:
         ]
         self._prof("fr-materialize")
 
-        allowed = fr.filter(F.col("allowed"))
+        # Columns dead past the robots gate are dropped BEFORE the rank
+        # chain: rules_json (robots JSON strings — the widest column),
+        # the allowed flag, raw fetch_total (t0 already extracted) and
+        # state (only ever re-emitted as a literal).  Everything from
+        # the salt/grouped rank shuffles through the fetchset cache and
+        # the gate anti-join carries the narrower rows.
+        allowed = fr.filter(F.col("allowed")).drop(
+            "rules_json", "fetch_total", "allowed", "state"
+        )
 
         # --- A5+A9+A10: candidates, global rank, G cutoff ------------
         cand = ops.candidate_set(
