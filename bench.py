@@ -72,6 +72,13 @@ def build_spark(cpus: int):
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         )
+        # local-cluster's mem_mb sizes the WORKER's resource pool; the
+        # executor JVM heap still comes from spark.executor.memory
+        # (default 1g — silently tiny).  Keep the two in sync.
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"),
+        )
         .appName("spider1-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
