@@ -36,13 +36,21 @@ def run(evt_dir: str) -> None:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+        )
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .config("spark.network.maxRemoteBlockSizeFetchToMem", "64m")
+        .config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXEC_MEM", "4g"),
+        )
         .appName("spider1-profile")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.scheduler.allocation.file", bench._FAIR_XML)
         .config("spark.eventLog.enabled", "true")
