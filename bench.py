@@ -104,7 +104,16 @@ def build_spark(cpus: int):
 
 
 def crawl_bench(spark, n_rows: int, n_hosts: int, warm: bool = False) -> dict:
-    """Drain a zipf frontier in ~3 politeness waves; URLs/sec overall."""
+    """Drain a zipf frontier in ~3 politeness waves; URLs/sec overall.
+
+    SPARK_GRAFT_BENCH_PAYLOAD=none runs the image-free synthetic web
+    (webgen payload mode): the full schedule/rank/gate/fetch/extract/
+    dedup pipeline without image bytes — the configuration that lets a
+    10^8-row frontier fit this box for the N-vs-4N scaling evidence.
+    Bloom sidecars are sized to the frontier (~10 bits/URL, floor at
+    the engine default) so the prefilter isn't saturated into
+    uselessness at 10^8 rows.
+    """
     from spider_1_spark.engine import Policy, SparkCrawler
     from spider_1_spark.fixtures.frontier_gen import write_frontier
     from spider_1_spark.fixtures.webgen import SyntheticWeb
@@ -122,14 +131,20 @@ def crawl_bench(spark, n_rows: int, n_hosts: int, warm: bool = False) -> dict:
         per_host_total_cap=1 << 40,
         global_page_budget=1 << 40,
     )
-    web = SyntheticWeb(n_hosts=n_hosts)
+    payload = os.environ.get("SPARK_GRAFT_BENCH_PAYLOAD", "image")
+    web = SyntheticWeb(n_hosts=n_hosts, payload=payload)
+    n_shards = 32
+    bloom_bits = int(
+        os.environ.get("SPARK_GRAFT_BENCH_BLOOM_BITS", "0")
+    ) or max(1 << 22, 1 << (10 * n_rows // n_shards).bit_length())
     tmp = tempfile.mkdtemp(prefix="spider1_bench_")
     try:
         fpath = os.path.join(tmp, "frontier")
         write_frontier(spark, fpath, n_rows, n_hosts)  # excluded from timing
         seed_frame = spark.read.parquet(fpath)
         crawler = SparkCrawler(
-            spark, policy, web, os.path.join(tmp, "state")
+            spark, policy, web, os.path.join(tmp, "state"),
+            bloom_shards=n_shards, bloom_bits=bloom_bits,
         )
         t0 = time.time()
         art = crawler.run_frontier(seed_frame)
@@ -147,19 +162,39 @@ def crawl_bench(spark, n_rows: int, n_hosts: int, warm: bool = False) -> dict:
             "n_waves": art.n_waves,
             "counters": c,
             "images_rows": n_images,
+            "payload": payload,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def relational_bench(spark, sf_dir: str) -> dict:
+def relational_bench(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Median-of-reps per key.
+
+    MUST run in a session the crawl never touched: BENCH_r02 recorded
+    join_range_interval at 17.5 s in the post-crawl session vs 1.2-1.7 s
+    fresh (VERDICT r2 "What's wrong" 1 — post-crawl JVM/GC state, not
+    the queries, which are byte-identical).  main() stops the crawl
+    session and builds a new SparkContext before calling this; the
+    first rep per key additionally absorbs codegen/scan warm-up, and
+    the median over ``reps`` timed reps rides over the box's ±15-30%
+    single-shot noise (BENCH/BASELINE.md §1).
+    """
+    import statistics
+
     from spider_1_spark.relational.queries import FNS
 
     times = {}
     for key in RELATIONAL_KEYS:
-        t0 = time.time()
         FNS[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[key] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            FNS[key](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.time() - t0)
+        times[key] = round(statistics.median(samples), 3)
     return times
 
 
@@ -176,44 +211,61 @@ def main() -> int:
         crawl_bench(spark, 20_000, 200, warm=True)
 
         crawl = crawl_bench(spark, n_rows, n_hosts)
-        rel = relational_bench(spark, sf_dir)
-
-        queries = {"crawl_frontier": crawl["elapsed_s"], **rel}
-        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        try:  # attribute every raw line to the engine commit
-            import subprocess
-
-            commit = subprocess.run(
-                ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip() or None
-            if commit and subprocess.run(
-                ["git", "-C", REPO_ROOT, "diff", "--quiet", "HEAD", "--",
-                 "spider_1_spark", "bench.py"],
-                timeout=10,
-            ).returncode != 0:
-                commit += "-dirty"  # uncommitted engine changes
-        except Exception:
-            commit = None
-        out = {
-            "commit": commit,
-            "master": os.environ.get("SPARK_GRAFT_MASTER"),
-            "metric": "frontier_urls_per_sec",
-            "value": crawl["urls_per_sec"],
-            "unit": "urls/sec",
-            "queries": queries,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "cpus": cpus,
-            "frontier_rows": crawl["frontier_rows"],
-            "evaluated": crawl["evaluated"],
-            "n_waves": crawl["n_waves"],
-            "counters": crawl["counters"],
-            "images_rows": crawl["images_rows"],
-        }
-        print(json.dumps(out))
-        return 0
     finally:
         spark.stop()
+
+    # relational keys run in a FRESH SparkContext: the crawl leaves
+    # JVM-level state (GC pressure, codegen/broadcast residue) that
+    # polluted BENCH_r02's relational timings up to 17x (VERDICT r2).
+    # SKIP_REL=1 for scaling-evidence legs, where only the crawl number
+    # matters and the extra session would stretch multi-hour batches.
+    rel: dict = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_REL"):
+        spark = build_spark(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            rel = relational_bench(
+                spark, sf_dir,
+                reps=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+            )
+        finally:
+            spark.stop()
+
+    queries = {"crawl_frontier": crawl["elapsed_s"], **rel}
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:  # attribute every raw line to the engine commit
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", REPO_ROOT, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        if commit and subprocess.run(
+            ["git", "-C", REPO_ROOT, "diff", "--quiet", "HEAD", "--",
+             "spider_1_spark", "bench.py"],
+            timeout=10,
+        ).returncode != 0:
+            commit += "-dirty"  # uncommitted engine changes
+    except Exception:
+        commit = None
+    out = {
+        "commit": commit,
+        "master": os.environ.get("SPARK_GRAFT_MASTER"),
+        "metric": "frontier_urls_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "frontier_rows": crawl["frontier_rows"],
+        "evaluated": crawl["evaluated"],
+        "n_waves": crawl["n_waves"],
+        "counters": crawl["counters"],
+        "images_rows": crawl["images_rows"],
+        "payload": crawl["payload"],
+    }
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":

@@ -57,10 +57,19 @@ def _rng(url: str) -> np.random.Generator:
 
 
 class SyntheticWeb:
-    """Deterministic page/image/robots store over H hosts."""
+    """Deterministic page/image/robots store over H hosts.
 
-    def __init__(self, n_hosts: int = 8):
+    ``payload="none"`` emits pages WITHOUT <img> items (identical rng
+    draws, so the anchor graph is unchanged): the scaling-evidence
+    bench uses it to hold 10^8-row frontiers in this box's RAM/disk —
+    schedule + rank + gate + dedup + fetch/extract stay the full
+    pipeline, only the image bytes (the memory hog) are absent
+    (BENCH/BASELINE.md §3g, VERDICT r2 "Next round" item 1).
+    """
+
+    def __init__(self, n_hosts: int = 8, payload: str = "image"):
         self.n_hosts = n_hosts
+        self.payload = payload
 
     # ------------------------------------------------------------ html
     def html(self, canonical_url: str) -> bytes | None:
@@ -98,11 +107,14 @@ class SyntheticWeb:
             items.append(f'<a href="{href}">l{j}</a>')
 
         for _ in range(n_imgs):
+            # rng draws happen in BOTH payload modes (anchor graph stays
+            # identical); only the emitted <img> item is payload-gated
             mm = int(rng.integers(0, 50))
             fmt = ("ppm", "png", "qlossy")[int(rng.integers(0, 3))]
             w1, w2 = (_WORDS[int(rng.integers(0, 64))] for _ in range(2))
             cap = f"cap {host} {mm} {w1} {w2}"
-            items.append(f'<img src="/img/{mm}.{fmt}" alt="{cap}">')
+            if getattr(self, "payload", "image") == "image":
+                items.append(f'<img src="/img/{mm}.{fmt}" alt="{cap}">')
 
         order = rng.permutation(len(items))
         body = "".join(items[int(o)] for o in order)

@@ -126,7 +126,17 @@ def test_engine_matches_oracle_aligned_probe_path(spark):
     check_equal(oracle, art)
 
 
-def test_engine_matches_oracle_frontier_mode(spark):
+def test_engine_matches_oracle_hosts_shuffle_join_path(spark):
+    """hosts_broadcast_max=0 forces the partitioned shuffle join for
+    the frontier⋈hosts enrichment from wave 0 — the auto-degrade path
+    the engine takes past 4M known hosts (crawler.py), which otherwise
+    never runs on test-size host counts (VERDICT r2 missing item 4)."""
+    oracle, art = run_both(spark, "robots", hosts_broadcast_max=0)
+    check_equal(oracle, art)
+
+
+@pytest.mark.parametrize("payload", ["image", "none"])
+def test_engine_matches_oracle_frontier_mode(spark, payload):
     """run_frontier + max_depth=0 — the BENCH regime (image harvesting
     over a pre-built frontier).  Every wave of this mode takes the
     depth-exhausted pipelined harvest path (crawler.py no_anchor):
@@ -134,7 +144,13 @@ def test_engine_matches_oracle_frontier_mode(spark):
     schedule+rank chain executes, so this pins bit-for-bit equality of
     ordering/seen/images/counters under that cross-wave concurrency.
     The oracle equivalent is a plain seed crawl over the same URLs in
-    seed_rank order with the same policy."""
+    seed_rank order with the same policy.
+
+    payload="none" is the image-free web the 10^8-row scaling evidence
+    runs on (BENCH/BASELINE.md §3g): same web object on both sides, so
+    equality here proves the mode changes nothing about scheduling —
+    the anchor graph and every gate decision are identical, only the
+    <img> items (and hence images rows / decode_failed) vanish."""
     from spider_1_spark.fixtures.frontier_gen import frontier_frame
 
     n_hosts, n_rows = 20, 2500
@@ -147,7 +163,7 @@ def test_engine_matches_oracle_frontier_mode(spark):
         per_host_total_cap=1 << 40,
         global_page_budget=1 << 40,
     )
-    web = SyntheticWeb(n_hosts)
+    web = SyntheticWeb(n_hosts, payload=payload)
     frame = frontier_frame(spark, n_rows, n_hosts)
     seeds = [
         r.raw_url
@@ -155,6 +171,8 @@ def test_engine_matches_oracle_frontier_mode(spark):
     ]
     oracle = ref.crawl(seeds, policy, web)
     assert oracle.n_waves >= 3, "fixture must span several waves"
+    if payload == "none":
+        assert not oracle.images and oracle.counters["decode_failed"] == 0
     root = tempfile.mkdtemp(prefix="spider1_frontier_")
     try:
         art = SparkCrawler(spark, policy, web, root).run_frontier(frame)
