@@ -87,39 +87,48 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(df, web_b)
 
 
-# Keys the driver must see first: CORRECTNESS_r01 recorded exactly the
-# first 50 of 57 registered keys, silently dropping the tail — above
-# all the flagship crawl keys (VERDICT r1, "Next round" item 1).  The
-# registry is therefore ordered by evidence value: (1) the keys absent
-# from r01, (2) every remaining full-oracle key, (3) rows-only keys
-# last — their full checks live in pytest anyway, so they lose the
-# least if a truncation window cuts the tail again.
+# Keys the driver must see first: the CORRECTNESS window records only
+# the first 50 of 59 registered keys, so the registry is ordered by
+# evidence value each round (VERDICT r2 item 5).  Round 3 leads with
+# (1) the 9 keys that have no r02 row (they rotated out of the r02
+# window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
+# dedup_embedding_cosine (parameterized bands/bits + bucket cap; its
+# oracle SQL is regenerated, so the driver row re-proves lockstep) —
+# and (3) the flagship crawl keys.
 _FIRST_KEYS = (
-    "crawl_end_to_end",
-    "crawl_url_canonicalize",
-    "crawl_decode_phash",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprint",
-    "multimodal_decode",
-    "udf_grouped_map",
-    "udaf_via_applyInPandas",
-    # Rewritten in round 2 (LSH-bucket blocking) — its green driver row
-    # is the VERDICT item-2 done-criterion, so it must sit inside the
-    # 50-row window.
-    "dedup_embedding_cosine",
-)
-
-# With 59 keys and a 50-row window, three full-oracle keys must fall
-# outside it.  These three are UNCHANGED since their r01 full-pass
-# rows (git: pipeline/queries.py round-2 diff touches neither) and
-# carry exact pytest oracles, so they lose the least: every key then
-# has a driver row in r01 ∪ r02, and every round-2-changed key is
-# re-checked in r02.
-_LAST_FULL_KEYS = (
+    # no r02 row (r01-verified, must re-appear in r03):
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_lsh_bucketed",
+    "agg_approx_distinct",
+    "hash_fns",
     "dedup_exact",
     "ann_cosine_topk",
     "text_tokens",
+    # modified in round 3:
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # flagship crawl surface:
+    "crawl_end_to_end",
+    "crawl_url_canonicalize",
+    "crawl_decode_phash",
+)
+
+# With 59 keys and a 50-row window, nine keys must fall outside it.
+# These all carry BOTH r01 and r02 full-pass rows, are untouched in
+# round 3 (git diff touches none of them), and are the structurally
+# simplest queries — they lose the least.  Every key then has a driver
+# row in r02 ∪ r03 and every round-3-changed key has an r03 row.
+_LAST_FULL_KEYS = (
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "project_expr",
+    "filter_pred",
+    "str_fns",
+    "date_fns",
+    "math_fns",
+    "cond_fns",
+    "set_intersect",
 )
 
 

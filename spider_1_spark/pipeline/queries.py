@@ -241,17 +241,20 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series([textops.simhash64(t) for t in texts], dtype="Int64")
 
 
-def dedup_simhash(spark, sf):
-    """SimHash near-dup pairs with Hamming distance <= 6.
+# same degenerate-bucket failure mode as LSH_BUCKET_CAP: a 16-bit
+# block value shared by b documents (boilerplate-heavy corpora at 10^9
+# docs WILL have hot blocks) emits b² join rows before .distinct() —
+# blocks above the cap are dropped before the self-join, bounding the
+# worst block's blow-up to cap² regardless of corpus shape.  Identical
+# docs are still caught by dedup_exact_hash; a near-dup pair losing a
+# hot block still surfaces via its 3 other blocks.
+SIMHASH_BLOCK_CAP = 512
 
-    Pigeonhole blocking: 4 x 16-bit blocks — pairs within distance 6
-    CAN miss all blocks only if >= 4 blocks differ, i.e. guaranteed
-    recall for distance <= 3; distance 4..6 found with high
-    probability.  Exact verify via bit_count(xor)."""
-    d = _docs(spark, sf).select(
-        "doc_id", simhash_udf(F.col("text")).alias("sh")
-    )
-    blocks = d.select(
+
+def _simhash_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, block_idx, block_val): 4 x 16-bit pigeonhole rows."""
+    d = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    return d.select(
         "doc_id",
         "sh",
         F.explode(
@@ -268,6 +271,28 @@ def dedup_simhash(spark, sf):
             )
         ).alias("blk"),
     ).select("doc_id", "sh", "blk.block_idx", "blk.block_val")
+
+
+def _simhash_pairs(
+    docs: DataFrame, block_cap: int = SIMHASH_BLOCK_CAP
+) -> DataFrame:
+    """SimHash near-dup pairs, Hamming distance <= 6, capped blocking.
+
+    Pigeonhole blocking: 4 x 16-bit blocks — pairs within distance 6
+    CAN miss all blocks only if >= 4 blocks differ, i.e. guaranteed
+    recall for distance <= 3; distance 4..6 found with high
+    probability.  Exact verify via bit_count(xor).  Blocks with more
+    than ``block_cap`` members are dropped before the self-join
+    (SIMHASH_BLOCK_CAP; simhash_dropped_blocks reports what a corpus
+    loses to the cap)."""
+    blocks = _simhash_blocks(docs)
+    ok = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= block_cap)
+        .select("block_idx", "block_val")
+    )
+    blocks = blocks.join(ok, ["block_idx", "block_val"], "left_semi")
     lhs = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
         "block_idx", "block_val",
@@ -290,6 +315,26 @@ def dedup_simhash(spark, sf):
     )
 
 
+def simhash_dropped_blocks(
+    docs: DataFrame, block_cap: int = SIMHASH_BLOCK_CAP
+) -> DataFrame:
+    """Observability for the block cap: the (block_idx, block_val,
+    n_docs) blocks the cap drops — same pattern as lsh_dropped_buckets
+    (a dropped block is recall silently traded for a bounded join)."""
+    return (
+        _simhash_blocks(docs)
+        .groupBy("block_idx", "block_val")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > block_cap)
+    )
+
+
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs with Hamming distance <= 6 (capped
+    pigeonhole blocking — see _simhash_pairs)."""
+    return _simhash_pairs(_docs(spark, sf))
+
+
 # ------------------------------------------- dedup: embedding cosine pairs
 
 def _cosine(a_col: str, b_col: str):
@@ -309,8 +354,8 @@ def _cosine(a_col: str, b_col: str):
     return dot / (na * nb)
 
 
-# Rademacher-plane LSH for the embedding dedup blocking: EMB_BANDS
-# bands of EMB_BITS sign bits each, candidate pair = same bucket in ANY
+# Rademacher-plane LSH for the embedding dedup blocking: ``bands``
+# bands of ``bits`` sign bits each, candidate pair = same bucket in ANY
 # band (band-OR for recall).  The projection is INTEGER-exact on both
 # engines — embeddings are quantized with floor(float64(x) * 1000)
 # (identical IEEE ops in Spark/numpy and DuckDB) and dotted with ±1
@@ -318,29 +363,39 @@ def _cosine(a_col: str, b_col: str):
 # set) are bit-identical between the Spark op and its SQL oracle; a
 # float hyperplane projection could flip a near-zero sign between
 # engines and break the driver's value-hash compare.
+#
+# Both knobs are ARGUMENTS threaded through the Spark op and the
+# generated SQL oracle in lockstep (VERDICT r2 item 3: a compile-time
+# constant left 64 buckets/band at any corpus size — ~10^14 candidate
+# pairs per band at 10^9 rows).  At 10^9 rows raise ``bits`` so the
+# expected bucket population n/2^bits stays executor-memory bounded;
+# EMB_BUCKET_CAP bounds the damage of skewed buckets the expectation
+# misses (same pattern as LSH_BUCKET_CAP / SIMHASH_BLOCK_CAP, with
+# emb_dropped_buckets as the observability hook).
 EMB_BANDS, EMB_BITS = 8, 6
+EMB_BUCKET_CAP = 4096
 
 
-def _emb_planes() -> np.ndarray:
+def _emb_planes(bands: int = EMB_BANDS, bits: int = EMB_BITS) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(17))
-    return rng.choice(np.array([-1.0, 1.0]), size=(EMB_BANDS * EMB_BITS, 64))
+    return rng.choice(np.array([-1.0, 1.0]), size=(bands * bits, 64))
 
 
-def _emb_band_buckets(e: DataFrame) -> DataFrame:
-    """(vec_id, band_idx, bucket) rows — EMB_BANDS rows per vector."""
-    planes = _emb_planes().astype(np.int64)
+def _emb_band_buckets(
+    e: DataFrame, bands: int = EMB_BANDS, bits: int = EMB_BITS
+) -> DataFrame:
+    """(vec_id, band_idx, bucket) rows — ``bands`` rows per vector."""
+    planes = _emb_planes(bands, bits).astype(np.int64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets_udf(embs: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         q = np.floor(mat * 1000.0).astype(np.int64)
-        bits = (q @ planes.T) > 0  # (n, EMB_BANDS*EMB_BITS)
-        out = np.zeros((len(embs), EMB_BANDS), dtype=np.int32)
-        for band in range(EMB_BANDS):
-            for i in range(EMB_BITS):
-                out[:, band] |= bits[:, band * EMB_BITS + i].astype(
-                    np.int32
-                ) << i
+        b = (q @ planes.T) > 0  # (n, bands*bits)
+        out = np.zeros((len(embs), bands), dtype=np.int32)
+        for band in range(bands):
+            for i in range(bits):
+                out[:, band] |= b[:, band * bits + i].astype(np.int32) << i
         return pd.Series(list(out))
 
     return e.select(
@@ -349,18 +404,46 @@ def _emb_band_buckets(e: DataFrame) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark, sf):
+def emb_dropped_buckets(
+    e: DataFrame,
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BITS,
+    bucket_cap: int = EMB_BUCKET_CAP,
+) -> DataFrame:
+    """Observability for the bucket cap: (band_idx, bucket, n_vecs)
+    buckets the cap drops — run when tuning bands/bits for a corpus."""
+    return (
+        _emb_band_buckets(e, bands, bits)
+        .groupBy("band_idx", "bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > bucket_cap)
+    )
+
+
+def dedup_embedding_cosine(
+    spark,
+    sf,
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BITS,
+    bucket_cap: int = EMB_BUCKET_CAP,
+):
     """Embedding near-dup pairs, cosine >= 0.4, LSH-bucket blocked.
 
     Candidate pairs share a Rademacher-LSH band bucket (band-OR over
-    EMB_BANDS bands — see _emb_planes); only candidates compute the
-    exact cosine.  The join is O(sum of bucket²) with 2^EMB_BITS ×
-    EMB_BANDS buckets — at 10^9 rows raise EMB_BITS so bucket size
-    stays executor-memory bounded (the same knob as ann_lsh_bucketed).
+    ``bands`` bands — see _emb_planes); only candidates compute the
+    exact cosine.  The join is O(sum of bucket²); buckets above
+    ``bucket_cap`` are dropped before the self-join (skew guard).
     The exact-but-unscalable label-blocked variant survives as
     dedup_embedding_label_blocked, the pytest recall yardstick."""
     e = _emb(spark, sf)
-    b = _emb_band_buckets(e)
+    b = _emb_band_buckets(e, bands, bits)
+    ok = (
+        b.groupBy("band_idx", "bucket")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= bucket_cap)
+        .select("band_idx", "bucket")
+    )
+    b = b.join(ok, ["band_idx", "bucket"], "left_semi")
     pairs = (
         b.select(F.col("vec_id").alias("id_a"), "band_idx", "bucket")
         .join(
@@ -675,27 +758,41 @@ def multimodal_decode(spark, sf):
 
 # ----------------------------------------------------- generated oracles
 
-def _emb_dedup_sql() -> str:
+def _emb_dedup_sql(
+    bands: int = EMB_BANDS,
+    bits: int = EMB_BITS,
+    bucket_cap: int = EMB_BUCKET_CAP,
+) -> str:
     """DuckDB oracle for dedup_embedding_cosine with the SAME
-    Rademacher-LSH blocking: floor(x*1000) quantization + ±1 plane
-    dots are integer-exact in both engines, so the candidate pair set
-    matches bit-for-bit (see _emb_planes)."""
-    planes = _emb_planes()
+    Rademacher-LSH blocking AND the same bucket cap: floor(x*1000)
+    quantization + ±1 plane dots are integer-exact in both engines, so
+    the candidate pair set matches bit-for-bit (see _emb_planes).
+    Generated from the same (bands, bits, bucket_cap) arguments as the
+    Spark op — changing a knob rebuilds both sides in lockstep."""
+    planes = _emb_planes(bands, bits)
 
     def dot(p):
         lit = "[" + ",".join(str(float(x)) for x in p) + "]::DOUBLE[]"
         return f"list_dot_product(q, {lit})"
 
     band_cols = []
-    for band in range(EMB_BANDS):
-        bits = [
-            f"(CASE WHEN {dot(planes[band * EMB_BITS + i])} > 0 "
+    for band in range(bands):
+        bit_terms = [
+            f"(CASE WHEN {dot(planes[band * bits + i])} > 0 "
             f"THEN {1 << i} ELSE 0 END)"
-            for i in range(EMB_BITS)
+            for i in range(bits)
         ]
-        band_cols.append("(" + " + ".join(bits) + f") AS b{band}")
+        band_cols.append("(" + " + ".join(bit_terms) + f") AS b{band}")
+    # per-band surviving buckets (population <= cap), mirroring the
+    # Spark side's left_semi filter before the self-join
+    ok_ctes = ", ".join(
+        f"ok{k} AS (SELECT b{k} AS v FROM b GROUP BY b{k} "
+        f"HAVING count(*) <= {bucket_cap})"
+        for k in range(bands)
+    )
     same_bucket = " OR ".join(
-        f"a.b{k} = c.b{k}" for k in range(EMB_BANDS)
+        f"(a.b{k} = c.b{k} AND a.b{k} IN (SELECT v FROM ok{k}))"
+        for k in range(bands)
     )
     cos = (
         "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
@@ -707,6 +804,7 @@ def _emb_dedup_sql() -> str:
         "WITH qe AS (SELECT vec_id, list_transform(embedding, "
         "x -> floor(CAST(x AS DOUBLE) * 1000)) AS q FROM embeddings), "
         "b AS (SELECT vec_id, " + ", ".join(band_cols) + " FROM qe), "
+        + ok_ctes + ", "
         "pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b "
         f"FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({same_bucket})) "
         f"SELECT p.id_a, p.id_b, round({cos}, 4) AS sim "
