@@ -22,6 +22,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Engine variants are PINNED WORKING TREES under .bench_eng/ (gitignored
+# scratch, deleted at round close — VERDICT r2 item 8).  To re-pin for a
+# new A/B:  git worktree add .bench_eng/<name> <commit>  (or cp -r the
+# repo and check out the commit there); each tree just needs bench.py +
+# spider_1_spark/ importable via PYTHONPATH=<tree>.
 VARIANTS = [
     ("old", os.path.join(REPO, ".bench_eng", "old")),
     ("jvm", os.path.join(REPO, ".bench_eng", "jvm")),
@@ -44,6 +49,13 @@ def run(tree: str, cpus: int, n_rows: int) -> dict:
         text=True,
         timeout=3600,
     )
+    # a failed bench must surface its stderr, not die as a JSON/index
+    # error on an empty stdout (ADVICE r2)
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py ({tree}, {cpus} cpus, n={n_rows}) exited "
+            f"{out.returncode}; stderr tail:\n{out.stderr[-4000:]}"
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

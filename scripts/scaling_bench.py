@@ -32,6 +32,11 @@ def run(cpus: int, n_rows: int) -> dict:
         text=True,
         timeout=3600,
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"bench.py ({cpus} cpus, n={n_rows}) exited "
+            f"{out.returncode}; stderr tail:\n{out.stderr[-4000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 

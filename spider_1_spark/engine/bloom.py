@@ -29,13 +29,69 @@ Bits: k=4 positions via Kirsch–Mitzenmacher double hashing
 from __future__ import annotations
 
 import hashlib
+import io as _io
 import os
-from typing import Iterator
+from typing import Iterator, Protocol, runtime_checkable
 
 import numpy as np
 import pandas as pd
 
 BLOOM_K = 4
+
+
+@runtime_checkable
+class ShardIO(Protocol):
+    """Byte-level shard-file storage with an ATOMIC publish.
+
+    The bloom commit protocol needs exactly one storage property: a
+    shard file at its final key is either absent or a complete payload
+    — a reader must never observe a torn write (a partial bitmap would
+    produce bloom FALSE NEGATIVES, which the engine's zero-FN contract
+    forbids).  ``write_atomic`` is the publish point.
+
+    Backends:
+      * ``LocalShardIO`` — tmp-file + fsync + ``os.replace`` (POSIX
+        rename atomicity), the single-machine / HDFS-mounted impl;
+      * object stores need NO rename: a single full-object PUT is
+        already all-or-nothing on S3/GCS/ABFS (the key is absent until
+        the PUT completes, then serves the full payload).  Exactly-one
+        -writer per shard is guaranteed upstream by the shard-keyed
+        repartition in ``update`` — where that cannot be relied on,
+        use a conditional PUT (S3 ``If-None-Match: *`` on versioned
+        keys / GCS ``ifGenerationMatch=0``) so a duplicate speculative
+        task fails instead of double-publishing.  Shard keys are
+        versioned (``v=<n>/shard-<k>``), never rewritten in place, so
+        read-after-write consistency of NEW keys (which all three major
+        stores guarantee) is sufficient.
+    """
+
+    def read(self, path: str) -> bytes | None:
+        """Full payload at ``path``, or None if absent."""
+        ...
+
+    def write_atomic(self, path: str, payload: bytes) -> None:
+        """Publish ``payload`` at ``path`` all-or-nothing."""
+        ...
+
+
+class LocalShardIO:
+    """Local-filesystem ShardIO: tmp + fsync + rename commit."""
+
+    def read(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_atomic(self, path: str, payload: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
 
 def _hashes(urls) -> tuple[np.ndarray, np.ndarray]:
@@ -59,12 +115,18 @@ def bit_positions(urls, m_bits: int) -> np.ndarray:
 
 
 class BloomStore:
-    """Versioned shard-file bloom sidecars under the state root."""
+    """Versioned shard-file bloom sidecars under the state root.
 
-    def __init__(self, root: str, n_shards: int = 32, m_bits: int = 1 << 22):
+    All storage goes through a ``ShardIO`` (default ``LocalShardIO``)
+    so the commit point is pluggable per deployment — the store itself
+    never opens files (see ShardIO for the object-store mapping)."""
+
+    def __init__(self, root: str, n_shards: int = 32, m_bits: int = 1 << 22,
+                 io: ShardIO | None = None):
         self.base = os.path.join(root, "bloom")
         self.n_shards = n_shards
         self.m_bits = m_bits
+        self.io: ShardIO = io if io is not None else LocalShardIO()
 
     def vdir(self, version: int) -> str:
         return os.path.join(self.base, f"v={version}")
@@ -76,18 +138,15 @@ class BloomStore:
         """Bitmap for a shard at a version (latest ≤ version; zeros if
         never written — untouched shards are never copied forward)."""
         for v in range(version, -1, -1):
-            p = self.shard_path(v, shard)
-            if os.path.exists(p):
-                with open(p, "rb") as f:
-                    return np.load(f)
+            payload = self.io.read(self.shard_path(v, shard))
+            if payload is not None:
+                return np.load(_io.BytesIO(payload))
         return np.zeros(self.m_bits // 8, dtype=np.uint8)
 
     def write_shard(self, version: int, shard: int, bits: np.ndarray) -> None:
-        os.makedirs(self.vdir(version), exist_ok=True)
-        tmp = self.shard_path(version, shard) + ".tmp"
-        with open(tmp, "wb") as f:
-            np.save(f, bits, allow_pickle=False)
-        os.replace(tmp, self.shard_path(version, shard))
+        buf = _io.BytesIO()
+        np.save(buf, bits, allow_pickle=False)
+        self.io.write_atomic(self.shard_path(version, shard), buf.getvalue())
 
     def prune(self, keep_max: int) -> None:
         import re

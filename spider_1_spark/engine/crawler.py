@@ -291,18 +291,31 @@ class SparkCrawler:
     # ----------------------------------------------------------- wave
 
     def _prof(self, label: str) -> None:
-        """SPIDER1_PROFILE=1: per-stage wall-clock for wave tuning."""
+        """SPIDER1_PROFILE=1: per-stage wall-clock for wave tuning.
+
+        The previous-marker timestamp is THREAD-LOCAL: under wave
+        pipelining the loop thread and the pooled harvest thread both
+        emit markers, and a shared timestamp would interleave their
+        deltas into nonsense exactly in the pipelined regime the
+        profile exists to tune (ADVICE r2).  Each line is tagged with
+        the emitting thread so the two streams separate cleanly."""
         import os
+        import threading
         import time
 
         if os.environ.get("SPIDER1_PROFILE"):
             now = time.time()
-            prev = getattr(self, "_prof_t", now)
+            tl = getattr(self, "_prof_tl", None)
+            if tl is None:
+                tl = self._prof_tl = threading.local()
+            prev = getattr(tl, "t", now)
+            tname = threading.current_thread().name
             print(
-                f"[wave-prof] {label}: +{now - prev:.2f}s @{now % 10000:.1f}",
+                f"[wave-prof] [{tname}] {label}: +{now - prev:.2f}s "
+                f"@{now % 10000:.1f}",
                 flush=True,
             )
-            self._prof_t = now
+            tl.t = now
 
     def _branch(self, pool_name: str, fn):
         """Tag a branch thread's Spark jobs with a scheduler pool.
@@ -858,10 +871,30 @@ class SparkCrawler:
                         v["seen"] + 1,
                     )
 
-            fut_images = pool.submit(
+            def _submit(fn):
+                # Under no_anchor pipelining harvest_run itself runs in
+                # a pool thread; if the loop thread's failure drain has
+                # already shutdown() this pool, submit raises a bare
+                # "cannot schedule new futures after shutdown"
+                # RuntimeError inside an abandoned future (ADVICE r2).
+                # Harmless — the manifest never commits and resume
+                # replays the wave — but re-raise it with the context
+                # so a debugger reading the abandoned future's
+                # exception isn't chasing a phantom scheduling bug.
+                try:
+                    return pool.submit(fn)
+                except RuntimeError as e:
+                    raise RuntimeError(
+                        "harvest sub-branch not scheduled: the wave "
+                        "pool was shut down by a concurrent wave "
+                        "failure (this wave never commits; resume "
+                        "replays it)"
+                    ) from e
+
+            fut_images = _submit(
                 self._timed(self._branch(LAGGING_POOL, images_branch))
             )
-            fut_seen = pool.submit(
+            fut_seen = _submit(
                 self._timed(self._branch(CRITICAL_POOL, seen_branch))
             )
 
@@ -869,7 +902,7 @@ class SparkCrawler:
                 fut_seen.result()
                 bloom_branch()
 
-            fut_bloom = pool.submit(
+            fut_bloom = _submit(
                 self._timed(self._branch(LAGGING_POOL, bloom_after_seen))
             )
             return {

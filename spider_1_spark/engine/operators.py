@@ -374,16 +374,35 @@ def with_global_rank(
     part = part.persist()
     _prof("global_rank counts-collect start")
     stats = {
-        r["_pid"]: (r["cnt"], r["m0"])
+        r["_pid"]: (r["cnt"], r["m0"], r["m1"])
         for r in part.groupBy("_pid")
-        .agg(F.count("*").alias("cnt"), F.min("_mid").alias("m0"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("_mid").alias("m0"),
+            F.max("_mid").alias("m1"),
+        )
         .collect()
     }
     _prof("global_rank counts-collect done")
     acc = 0
     offs: dict[int, int] = {}  # pid -> (global offset - min mid)
     for pid in sorted(stats):
-        cnt, m0 = stats[pid]
+        cnt, m0, m1 = stats[pid]
+        # The offset arithmetic requires monotonically_increasing_id's
+        # per-partition record number to be CONSECUTIVE, which PySpark
+        # documents only as monotonic+unique.  The current layout
+        # ((pid << 33) + 0-based consecutive counter) satisfies it; if
+        # a Spark upgrade ever changes that, fail loudly here instead
+        # of silently corrupting the global fetch order (crawl-log seq,
+        # the G cutoff).  Same tiny O(P) job — max() rides along free.
+        if m1 - m0 + 1 != cnt:
+            raise AssertionError(
+                "monotonically_increasing_id is no longer consecutive "
+                f"within a partition (pid={pid}: span {m1 - m0 + 1} != "
+                f"count {cnt}); with_global_rank's offset arithmetic "
+                "needs a per-partition zipWithIndex fallback on this "
+                "Spark version"
+            )
         offs[pid] = acc - m0
         acc += cnt
     if len(offs) <= 64:

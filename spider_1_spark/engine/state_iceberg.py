@@ -31,10 +31,11 @@ Mapping of the snapshot/append semantics onto Iceberg:
     must physically delete stale dirs because its readers scan
     directories; Iceberg readers never see them.)
 
-The bloom sidecars (engine/bloom.py) are NOT Iceberg tables — on a
-real cluster their ``os.replace`` rename-commit needs an object-store
-equivalent (e.g. conditional PUT); that is the one remaining
-local-filesystem dependency and is documented where it lives.
+The bloom sidecars (engine/bloom.py) are NOT Iceberg tables — their
+storage goes through the pluggable ``bloom.ShardIO`` seam instead:
+``LocalShardIO`` (tmp + fsync + rename) here, a full-object /
+conditional PUT on an object store (mapping documented on ShardIO;
+torn-write invisibility unit-tested in tests/test_shard_io.py).
 """
 
 from __future__ import annotations
