@@ -109,20 +109,21 @@ _FIRST_KEYS = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_lsh_multiprobe",
+    "ann_ivf_bucketed",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 60 keys (ann_lsh_multiprobe is new in r3) and a 50-row window,
-# ten keys must fall outside it: the tail of this list plus the two
-# unpinned rows-only keys (doc_fingerprint, multimodal_decode — r02
-# full rows, untouched in r3).  The keys here all carry BOTH r01 and
-# r02 full-pass rows, are untouched in round 3 (git diff touches none
-# of them), and are the structurally simplest queries — they lose the
-# least.  Every key then has a driver row in r02 ∪ r03 and every
-# round-3-changed key has an r03 row.
+# With 61 keys (ann_lsh_multiprobe / ann_ivf_bucketed are new in r3)
+# and a 50-row window, eleven keys must fall outside it: this whole
+# list plus the two unpinned rows-only keys (doc_fingerprint,
+# multimodal_decode — r02 full rows, untouched in r3).  The keys here
+# all carry BOTH r01 and r02 full-pass rows, are untouched in round 3
+# (git diff touches none of them), and are the structurally simplest
+# queries — they lose the least.  Every key then has a driver row in
+# r02 ∪ r03 and every round-3-changed key has an r03 row.
 _LAST_FULL_KEYS = (
     "scan_parquet",
     "scan_projection_pushdown",

@@ -605,6 +605,108 @@ def ann_lsh_multiprobe(spark, sf):
     return _ann_lsh_topk(spark, sf, probe_flips=N_PLANES)
 
 
+IVF_C, IVF_PROBE, IVF_ITERS = 8, 3, 2
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """pandas_udf: index of the max-cosine centroid for each vector."""
+    # pre-normalize once so assignment is a single matmul per batch
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_centroids(e: DataFrame, n_cent: int = IVF_C,
+                   iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic Lloyd centroids, DataFrame-native.
+
+    Init = the ``n_cent`` lowest vec_ids (deterministic, no RNG); each
+    iteration is ONE shuffle: assign (pandas_udf over a broadcast
+    C×dim matrix — tiny), then per-(cid, dim) mean via posexplode +
+    groupBy.  Driver traffic is O(C·dim) per iteration (512 floats
+    here), independent of corpus size — the classic IVF train loop at
+    10^9 rows is exactly this plan with a sampled training subset."""
+    init = (
+        e.orderBy("vec_id").limit(n_cent).select("embedding").collect()
+    )
+    cent = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in init])
+    for _ in range(iters):
+        assigned = e.select(
+            _ivf_assign_udf(cent)(F.col("embedding")).alias("cid"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        rows = (
+            assigned.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()  # empty clusters keep their old centroid
+        for r in rows:
+            new[r.cid, r.dim] = r.m
+        cent = new
+    return cent
+
+
+def ann_ivf_bucketed(spark, sf):
+    """IVF ANN: coarse k-means partitions + multi-list probe.
+
+    The corpus is assigned once to its nearest of IVF_C trained
+    centroids (inverted lists); each query scans only its IVF_PROBE
+    nearest lists.  Complements the LSH variants: data-adaptive
+    partitions follow the corpus's actual cluster structure where
+    fixed hyperplanes cannot.  At 10^9 rows: train on a sampled
+    subset, raise IVF_C so lists stay executor-memory bounded, and the
+    probe join stays O(q · avg-list) with the tiny query side
+    broadcast.  Recall vs the exact baseline and determinism are
+    pinned in tests/test_pipeline.py; rows-only for the driver (the
+    trained centroids have no closed-form SQL)."""
+    e = _emb(spark, sf)
+    cent = _ivf_centroids(e)
+    assign = _ivf_assign_udf(cent)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        sims = mat @ cn.T
+        top = np.argsort(-sims, axis=1)[:, :IVF_PROBE].astype(np.int32)
+        return pd.Series(list(top))
+
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("n_emb"),
+                 assign(F.col("embedding")).alias("cid"))
+    q = (
+        e.filter(F.col("vec_id") < ANN_NQ)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("q_emb"),
+                F.explode(probe_udf(F.col("embedding"))).alias("cid"))
+    )
+    scored = (
+        q.join(c, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(_cosine("q_emb", "n_emb"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"),
+                "rank")
+    )
+
+
 # ----------------------------------------------------------- text analysis
 
 def text_tokens(spark, sf):
@@ -864,6 +966,7 @@ PIPE_FNS = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
+    "ann_ivf_bucketed": ann_ivf_bucketed,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -938,6 +1041,7 @@ PIPE_SQL: dict[str, str | None] = {
     "dedup_simhash": None,
     "ann_lsh_bucketed": None,
     "ann_lsh_multiprobe": None,
+    "ann_ivf_bucketed": None,
     "doc_fingerprint": None,
     "multimodal_decode": None,
 }

@@ -243,6 +243,39 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         ), f"query {q} lost recall going multi-probe"
 
 
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF (trained coarse centroids + 3-list probe) must reach >= 0.8
+    recall vs the exact baseline on the clustered fixture and be
+    deterministic across runs (Lloyd init is the lowest vec_ids — no
+    RNG anywhere in the train/assign path)."""
+    from spider_1_spark.pipeline.queries import (
+        ann_cosine_topk,
+        ann_ivf_bucketed,
+    )
+
+    exact, ivf = {}, {}
+    for res, df in (
+        (exact, ann_cosine_topk(spark, sf_dir)),
+        (ivf, ann_ivf_bucketed(spark, sf_dir)),
+    ):
+        for r in df.collect():
+            res.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert np.mean(recalls) >= 0.8, f"IVF mean recall {np.mean(recalls):.2f}"
+
+    again = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann_ivf_bucketed(spark, sf_dir).collect()
+    }
+    first = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in ann_ivf_bucketed(spark, sf_dir).collect()
+    }
+    assert again == first
+
+
 def test_embedding_dedup_lsh_recall_vs_label_blocked(spark, sf_dir):
     """The production LSH-blocked embedding dedup must recover >=95%
     of the pairs the exact (label-blocked) variant finds on the
