@@ -27,30 +27,36 @@ def main() -> None:
             commit = d.get("commit") or "r1-pre-tagging"
             if want and not commit.startswith(want):
                 continue
-            key = (commit, d["frontier_rows"], d["cpus"])
+            # payload entered the line schema in r3 ("image" default,
+            # "none" = URLs-only scaling runs); absent = image era
+            key = (
+                commit, d["frontier_rows"], d["cpus"],
+                d.get("payload", "image"),
+            )
             rows.setdefault(key, []).append(d)
-    for (commit, n, cpus), ds in sorted(rows.items()):
+    for (commit, n, cpus, pay), ds in sorted(rows.items()):
         thr = [d["value"] for d in ds]
         sec = [d["queries"]["crawl_frontier"] for d in ds]
         print(
-            f"{commit} n={n:>9} local[{cpus:>2}] reps={len(thr)} "
+            f"{commit} n={n:>9} local[{cpus:>2}] {pay:>5} "
+            f"reps={len(thr)} "
             f"median={statistics.median(thr):>9.1f} urls/s "
             f"({statistics.median(sec):.1f}s) "
             f"all={sorted(thr)}"
         )
-    # efficiency per (commit, n) for the conventional pairs
+    # efficiency per (commit, n, payload) for the conventional pairs
     print()
     for lo, hi in ((2, 8), (4, 16), (8, 32)):
-        for (commit, n, cpus), ds in sorted(rows.items()):
+        for (commit, n, cpus, pay), ds in sorted(rows.items()):
             if cpus != lo:
                 continue
-            hi_key = (commit, n, hi)
+            hi_key = (commit, n, hi, pay)
             if hi_key not in rows:
                 continue
             mlo = statistics.median([d["value"] for d in ds])
             mhi = statistics.median([d["value"] for d in rows[hi_key]])
             print(
-                f"{commit} n={n:>9} eff({hi}/{lo}) = "
+                f"{commit} n={n:>9} {pay:>5} eff({hi}/{lo}) = "
                 f"{(mhi / mlo) / (hi / lo):.3f}  "
                 f"(medians {mlo:.0f} -> {mhi:.0f})"
             )
