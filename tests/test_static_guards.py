@@ -92,6 +92,30 @@ def test_global_rank_uses_range_partitioning(spark):
     ranked._rank_source.unpersist()
 
 
+def test_global_rank_broadcast_offsets_path(spark):
+    """num_partitions > 64 switches the offset apply from the linear
+    when-chain to a broadcast-joined offsets frame (the cluster-scale
+    path); ranks must still be the exact 0-based sort order."""
+    from spider_1_spark.engine.operators import with_global_rank
+
+    df = spark.range(500).selectExpr(
+        "cast(id % 7 as long) as depth",
+        "cast(499 - id as long) as parent_rank",
+        "cast(id as int) as link_pos",
+        "concat('u', id) as url",
+    )
+    ranked = with_global_rank(
+        df, spark, ["depth", "parent_rank", "link_pos", "url"],
+        num_partitions=80,
+    )
+    rows = ranked.collect()
+    expect = sorted(
+        rows, key=lambda r: (r.depth, r.parent_rank, r.link_pos, r.url)
+    )
+    assert [r.g for r in expect] == list(range(500))
+    ranked._rank_source.unpersist()
+
+
 def test_politeness_window_is_salted(spark):
     """candidate_set must contain BOTH the salt-local window and the
     exact per-host window (A5 skew-proofing)."""
