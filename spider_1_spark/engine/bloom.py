@@ -73,6 +73,17 @@ class ShardIO(Protocol):
         """Publish ``payload`` at ``path`` all-or-nothing."""
         ...
 
+    def list_version_dirs(self, base: str) -> list[tuple[int, str]]:
+        """(version, dir-path) pairs under ``base`` (``v=<n>`` layout).
+        On an object store this is a prefix listing."""
+        ...
+
+    def delete_dir(self, path: str) -> None:
+        """Remove a version directory and its shard objects (prefix
+        delete on an object store).  Used by crash-residue pruning, so
+        it must tolerate a partially-written directory."""
+        ...
+
 
 class LocalShardIO:
     """Local-filesystem ShardIO: tmp + fsync + rename commit."""
@@ -92,6 +103,32 @@ class LocalShardIO:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        # the rename is atomic but not durable until the DIRECTORY
+        # entry is flushed: a power loss after the wave's manifest
+        # commits could otherwise revert the shard to its previous
+        # version — a bloom false negative on resume
+        dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def list_version_dirs(self, base: str) -> list[tuple[int, str]]:
+        import re
+
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            m = re.match(r"^v=(\d+)$", d)
+            if m:
+                out.append((int(m.group(1)), os.path.join(base, d)))
+        return out
+
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _hashes(urls) -> tuple[np.ndarray, np.ndarray]:
@@ -149,15 +186,13 @@ class BloomStore:
         self.io.write_atomic(self.shard_path(version, shard), buf.getvalue())
 
     def prune(self, keep_max: int) -> None:
-        import re
-        import shutil
-
-        if not os.path.isdir(self.base):
-            return
-        for d in os.listdir(self.base):
-            m = re.match(r"^v=(\d+)$", d)
-            if m and int(m.group(1)) > keep_max:
-                shutil.rmtree(os.path.join(self.base, d), ignore_errors=True)
+        """Delete version dirs above the committed manifest (crash
+        residue) — through the ShardIO so non-local backends prune
+        their stale objects too (a survivor above keep_max would be
+        read back as live bits by ``load_shard``'s fallback)."""
+        for v, path in self.io.list_version_dirs(self.base):
+            if v > keep_max:
+                self.io.delete_dir(path)
 
 
 def probe_pandas(

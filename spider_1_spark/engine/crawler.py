@@ -118,6 +118,7 @@ class SparkCrawler:
         store=None,
         bloom_root: str | None = None,
         hosts_broadcast_max: int = 4_000_000,
+        bloom_io=None,
     ):
         self.spark = spark
         self.policy = policy
@@ -153,7 +154,19 @@ class SparkCrawler:
         self.hosts_broadcast_max = hosts_broadcast_max
         from spider_1_spark.engine.bloom import BloomStore
 
-        self.bloom = BloomStore(bloom_root or root, bloom_shards, bloom_bits)
+        # bloom_io: a bloom.ShardIO for non-local shard storage (the
+        # object-store deployments the ShardIO docstring maps out);
+        # default LocalShardIO.  The instance rides inside BloomStore
+        # through the worker-side probe closures, so it must pickle.
+        self.bloom = BloomStore(
+            bloom_root or root, bloom_shards, bloom_bits, io=bloom_io
+        )
+        # profiler state must exist before any thread can race the
+        # lazy getattr in _prof (two first-marker threads would each
+        # build a threading.local and one side's deltas would reset)
+        import threading
+
+        self._prof_tl = threading.local()
 
     # ------------------------------------------------------------ run
 
@@ -305,9 +318,7 @@ class SparkCrawler:
 
         if os.environ.get("SPIDER1_PROFILE"):
             now = time.time()
-            tl = getattr(self, "_prof_tl", None)
-            if tl is None:
-                tl = self._prof_tl = threading.local()
+            tl = self._prof_tl  # built eagerly in __init__ (race-free)
             prev = getattr(tl, "t", now)
             tname = threading.current_thread().name
             print(

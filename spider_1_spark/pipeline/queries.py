@@ -285,7 +285,11 @@ def _simhash_pairs(
     than ``block_cap`` members are dropped before the self-join
     (SIMHASH_BLOCK_CAP; simhash_dropped_blocks reports what a corpus
     loses to the cap)."""
-    blocks = _simhash_blocks(docs)
+    # persisted: the cap aggregate, its semi-join probe, and both
+    # self-join sides read this frame — uncached, the per-doc simhash
+    # UDF would recompute ~4x over the corpus (same pattern as the
+    # minhash signature persist above)
+    blocks = _simhash_blocks(docs).persist()
     ok = (
         blocks.groupBy("block_idx", "block_val")
         .agg(F.count("*").alias("_bn"))
@@ -436,7 +440,9 @@ def dedup_embedding_cosine(
     The exact-but-unscalable label-blocked variant survives as
     dedup_embedding_label_blocked, the pytest recall yardstick."""
     e = _emb(spark, sf)
-    b = _emb_band_buckets(e, bands, bits)
+    # persisted: cap aggregate + semi-join probe + both self-join
+    # sides — uncached, the bucket pandas UDF runs ~4x over the corpus
+    b = _emb_band_buckets(e, bands, bits).persist()
     ok = (
         b.groupBy("band_idx", "bucket")
         .agg(F.count("*").alias("_bn"))
@@ -630,9 +636,17 @@ def _ivf_centroids(e: DataFrame, n_cent: int = IVF_C,
     Init = the ``n_cent`` lowest vec_ids (deterministic, no RNG); each
     iteration is ONE shuffle: assign (pandas_udf over a broadcast
     C×dim matrix — tiny), then per-(cid, dim) mean via posexplode +
-    groupBy.  Driver traffic is O(C·dim) per iteration (512 floats
+    groupBy.  Driver traffic is O(C·dim) per iteration (512 values
     here), independent of corpus size — the classic IVF train loop at
-    10^9 rows is exactly this plan with a sampled training subset."""
+    10^9 rows is exactly this plan with a sampled training subset.
+
+    The mean is computed as an INTEGER sum of floor(x*1000)-quantized
+    components divided driver-side: float sum merge order varies with
+    shuffle task completion, so ``F.avg`` over doubles can differ in
+    the last ulp between runs and flip a near-tied argmax assignment —
+    integer sums are order-independent, making the trained centroids
+    (and everything downstream) bit-deterministic.  Same quantization
+    trick as the embedding-dedup oracle (_emb_band_buckets)."""
     init = (
         e.orderBy("vec_id").limit(n_cent).select("embedding").collect()
     )
@@ -642,15 +656,19 @@ def _ivf_centroids(e: DataFrame, n_cent: int = IVF_C,
         assigned = e.select(
             _ivf_assign_udf(cent)(F.col("embedding")).alias("cid"),
             F.posexplode("embedding").alias("dim", "x"),
+        ).select(
+            "cid", "dim",
+            F.floor(F.col("x").cast("double") * 1000).cast("long")
+            .alias("q"),
         )
         rows = (
             assigned.groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new = cent.copy()  # empty clusters keep their old centroid
         for r in rows:
-            new[r.cid, r.dim] = r.m
+            new[r.cid, r.dim] = (r.s / 1000.0) / r.n
         cent = new
     return cent
 

@@ -127,11 +127,15 @@ def test_engine_matches_oracle_aligned_probe_path(spark):
 
 
 def test_engine_matches_oracle_hosts_shuffle_join_path(spark):
-    """hosts_broadcast_max=0 forces the partitioned shuffle join for
+    """hosts_broadcast_max=-1 forces the partitioned shuffle join for
     the frontier⋈hosts enrichment from wave 0 — the auto-degrade path
     the engine takes past 4M known hosts (crawler.py), which otherwise
-    never runs on test-size host counts (VERDICT r2 missing item 4)."""
-    oracle, art = run_both(spark, "robots", hosts_broadcast_max=0)
+    never runs on test-size host counts (VERDICT r2 missing item 4).
+    -1, not 0: the manifest's host count starts at 0 and the broadcast
+    branch triggers on n_hosts_known <= max, so 0 would still
+    broadcast wave 0 (whose all-hosts-new join shape is exactly what
+    needs the shuffle-path coverage)."""
+    oracle, art = run_both(spark, "robots", hosts_broadcast_max=-1)
     check_equal(oracle, art)
 
 
@@ -148,9 +152,13 @@ def test_engine_matches_oracle_frontier_mode(spark, payload):
 
     payload="none" is the image-free web the 10^8-row scaling evidence
     runs on (BENCH/BASELINE.md §3g): same web object on both sides, so
-    equality here proves the mode changes nothing about scheduling —
-    the anchor graph and every gate decision are identical, only the
-    <img> items (and hence images rows / decode_failed) vanish."""
+    equality here proves that AT max_depth=0 the mode changes nothing
+    about scheduling — anchors are dropped before the frontier either
+    way, so only the <img> items (and hence images rows /
+    decode_failed) vanish.  (The claim is deliberately scoped: at
+    depth>0 the shorter item list draws a different page-item
+    permutation, so link_pos/anchor ORDER differs between payload
+    modes — each mode is oracle-equal to itself, not to the other.)"""
     from spider_1_spark.fixtures.frontier_gen import frontier_frame
 
     n_hosts, n_rows = 20, 2500

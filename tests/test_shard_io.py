@@ -87,7 +87,8 @@ def test_local_write_is_all_or_nothing_content(tmp_path):
 class MemShardIO:
     """Dict-backed ShardIO — publish is a single dict assignment, the
     shape of an object-store full-object PUT (all-or-nothing by
-    construction)."""
+    construction); listing/deletion are prefix operations, the shape
+    of an object-store LIST/prefix-delete."""
 
     def __init__(self):
         self.objects: dict[str, bytes] = {}
@@ -97,6 +98,20 @@ class MemShardIO:
 
     def write_atomic(self, path: str, payload: bytes) -> None:
         self.objects[path] = bytes(payload)
+
+    def list_version_dirs(self, base: str) -> list[tuple[int, str]]:
+        import re
+
+        out = set()
+        for key in self.objects:
+            m = re.match(re.escape(base) + r"/(v=(\d+))/", key)
+            if m:
+                out.add((int(m.group(2)), f"{base}/{m.group(1)}"))
+        return sorted(out)
+
+    def delete_dir(self, path: str) -> None:
+        for key in [k for k in self.objects if k.startswith(path + "/")]:
+            del self.objects[key]
 
 
 def test_seam_is_pluggable_in_memory_backend(tmp_path):
@@ -115,3 +130,23 @@ def test_seam_is_pluggable_in_memory_backend(tmp_path):
     assert np.array_equal(store.load_shard(4, 2), bm1)
     assert not store.load_shard(4, 3).any()
     assert not os.path.exists(os.path.join(str(tmp_path), "bloom"))
+
+    # prune goes through the seam too: versions above the committed
+    # manifest vanish from the alternate backend, and load_shard's
+    # latest-<=version fallback no longer resurrects them
+    store.prune(0)
+    assert np.array_equal(store.load_shard(4, 2), bm0)
+    assert store.io.list_version_dirs(store.base) == [
+        (0, f"{store.base}/v=0")
+    ]
+
+
+def test_local_prune_removes_crash_residue(tmp_path):
+    store = BloomStore(str(tmp_path), n_shards=2, m_bits=1 << 12)
+    bm0 = _bitmap(store.m_bits, ["http://a.test/"])
+    bm1 = _bitmap(store.m_bits, ["http://b.test/"])
+    store.write_shard(0, 0, bm0)
+    store.write_shard(3, 0, bm1)  # uncommitted-wave residue
+    store.prune(0)
+    assert np.array_equal(store.load_shard(3, 0), bm0)
+    assert not os.path.exists(store.vdir(3))
