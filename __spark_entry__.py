@@ -110,15 +110,19 @@ _FIRST_KEYS = (
     "dedup_embedding_cosine",
     "ann_lsh_multiprobe",
     "ann_ivf_bucketed",
+    "sample_stratified",
+    "text_pii_scrub",
+    "docs_length_histogram",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 61 keys (ann_lsh_multiprobe / ann_ivf_bucketed are new in r3)
-# and a 50-row window, eleven keys must fall outside it: this whole
-# list plus the two unpinned rows-only keys (doc_fingerprint,
+# With 64 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# sample_stratified, text_pii_scrub, docs_length_histogram) and a
+# 50-row window, fourteen keys must fall outside it: this whole list
+# plus the two unpinned rows-only keys (doc_fingerprint,
 # multimodal_decode — r02 full rows, untouched in r3).  The keys here
 # all carry BOTH r01 and r02 full-pass rows, are untouched in round 3
 # (git diff touches none of them), and are the structurally simplest
@@ -134,6 +138,9 @@ _LAST_FULL_KEYS = (
     "math_fns",
     "cond_fns",
     "set_intersect",
+    "set_union_dedup",
+    "set_except",
+    "limit_global",
 )
 
 

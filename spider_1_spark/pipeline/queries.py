@@ -794,6 +794,83 @@ def text_langid(spark, sf):
     )
 
 
+# --------------------------------------------------------- corpus curation
+
+# Per-stratum hash-threshold sample rates, as 4-hex-digit md5-prefix
+# ceilings: 0x3333/0x10000 ≈ 20% for English, 0x1999/0x10000 ≈ 10%
+# for everything else.  A hash threshold (vs rand()) makes the sample
+# a pure function of the key — identical on 4 cores or 4000
+# executors, re-runnable incrementally, and joinable across pipeline
+# stages (the same doc is in or out everywhere).
+_STRATUM_HEX = {"en": "3333"}
+_STRATUM_HEX_DEFAULT = "1999"
+
+
+def sample_stratified(spark, sf):
+    """Deterministic stratified sampling: keep a doc iff the first 4
+    hex chars of md5(doc_id) fall under its stratum's ceiling, then
+    roll up per (lang, source) for a compact audit of exactly which
+    rows survived.  Scale: the filter is a narrow map over the scan
+    (no shuffle, no RNG state); only the small audit rollup shuffles."""
+    d = _docs(spark, sf)
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.when(
+        F.col("lang") == "en", F.lit(_STRATUM_HEX["en"])
+    ).otherwise(F.lit(_STRATUM_HEX_DEFAULT))
+    return (
+        d.where(h4 < thr)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+# PII patterns pinned to the syntax subset Java regex (Spark) and RE2
+# (DuckDB) interpret identically: literal classes, bounded repeats —
+# no backrefs or lookarounds.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"[0-9]{6,}"
+
+
+def text_pii_scrub(spark, sf):
+    """PII scrubbing: redact email addresses and 6+-digit runs
+    (phone/account-number shaped) from the text column — the standard
+    pre-release pass over a crawled corpus.  Built-in regexp_replace
+    only (JVM-side, whole-stage codegen); delta_chars audits how much
+    each doc was redacted."""
+    d = _docs(spark, sf)
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        (F.length("text") - F.length(scrub)).cast("long").alias(
+            "delta_chars"
+        ),
+    )
+
+
+def docs_length_histogram(spark, sf):
+    """Corpus length histogram (100-char bins): the shape check every
+    curation run starts with.  One partial-aggregated groupBy on a
+    derived int key — map-side combine leaves ~bins rows per task, so
+    the shuffle is O(bins x partitions) regardless of corpus size."""
+    d = _docs(spark, sf)
+    bin_ = F.floor(F.col("n_chars") / 100).cast("long")
+    return d.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def doc_fingerprint(spark, sf):
     """Winnowing fingerprints (rolling k-gram hash, min-in-window):
     exploded (doc_id, fp) rows — overlap of fp sets across docs is the
@@ -988,6 +1065,9 @@ PIPE_FNS = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "sample_stratified": sample_stratified,
+    "text_pii_scrub": text_pii_scrub,
+    "docs_length_histogram": docs_length_histogram,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
 }
@@ -1052,6 +1132,28 @@ PIPE_SQL: dict[str, str | None] = {
         r"ELSE 'zh' END AS predicted FROM s) "
         r"SELECT lang, predicted, count(*)::BIGINT AS n FROM p "
         r"GROUP BY lang, predicted"
+    ),
+    "sample_stratified": (
+        "SELECT lang, source, count(*)::BIGINT AS n_sampled, "
+        "min(doc_id) AS min_doc_id, sum(n_chars)::BIGINT AS sum_chars "
+        "FROM documents "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"(CASE WHEN lang = 'en' THEN '{_STRATUM_HEX['en']}' "
+        f"ELSE '{_STRATUM_HEX_DEFAULT}' END) "
+        "GROUP BY lang, source"
+    ),
+    "text_pii_scrub": (
+        "WITH s AS (SELECT doc_id, text, regexp_replace(regexp_replace("
+        f"text, '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_LONGNUM}', '<NUM>', 'g') AS scrubbed FROM documents) "
+        "SELECT doc_id, scrubbed, "
+        "(length(text) - length(scrubbed))::BIGINT AS delta_chars FROM s"
+    ),
+    "docs_length_histogram": (
+        "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin, "
+        "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+        "FROM documents GROUP BY 1"
     ),
     # rows-only (pytest oracles in tests/test_pipeline.py):
     "dedup_minhash_lsh": None,

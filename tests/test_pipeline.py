@@ -496,3 +496,103 @@ def test_winnow_robust_to_distant_edit():
     f1 = set(textops.winnow_fingerprints(t1))
     f2 = set(textops.winnow_fingerprints(t2))
     assert f1 & f2, "shared region must share fingerprints"
+
+
+# ------------------------------------------------------- corpus curation
+
+@pytest.fixture(scope="module")
+def curation_dir(spark):
+    """Mixed-lang docs with planted PII, for the curation ops."""
+    tmp = tempfile.mkdtemp(prefix="spider1_cur_")
+    rows = []
+    for i in range(400):
+        lang = ("en", "es", "de", "fr")[i % 4]
+        text = f"doc {i} body with filler words here"
+        if i % 10 == 0:
+            text += f" contact user{i}@example.com now"
+        if i % 7 == 0:
+            text += f" account 123456789{i}"
+        rows.append((i, text, lang, f"src{i % 3}", len(text)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sample_stratified_rate_and_determinism(spark, curation_dir):
+    """Hash-threshold sampling: per-stratum rates land near the pinned
+    ceilings, the sample is a pure function of doc_id (identical across
+    runs / parallelism), and membership matches a python md5 oracle."""
+    import hashlib
+
+    from spider_1_spark.pipeline.queries import (
+        _STRATUM_HEX, _STRATUM_HEX_DEFAULT, sample_stratified,
+    )
+
+    out = {
+        (r.lang, r.source): (r.n_sampled, r.min_doc_id, r.sum_chars)
+        for r in sample_stratified(spark, curation_dir).collect()
+    }
+    # python oracle over the same fixture
+    expect = {}
+    for i in range(400):
+        lang = ("en", "es", "de", "fr")[i % 4]
+        text = f"doc {i} body with filler words here"
+        if i % 10 == 0:
+            text += f" contact user{i}@example.com now"
+        if i % 7 == 0:
+            text += f" account 123456789{i}"
+        thr = _STRATUM_HEX.get(lang, _STRATUM_HEX_DEFAULT)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < thr:
+            key = (lang, f"src{i % 3}")
+            n, mn, sc = expect.get(key, (0, 10**9, 0))
+            expect[key] = (n + 1, min(mn, i), sc + len(text))
+    assert out == expect
+    # en strata sample at ~2x the default rate (0.2 vs 0.1 ceilings)
+    n_en = sum(v[0] for (lg, _), v in out.items() if lg == "en")
+    n_other = sum(v[0] for (lg, _), v in out.items() if lg != "en")
+    assert n_en > 0 and n_other > 0
+    # rerun is bit-identical (no RNG state anywhere)
+    again = {
+        (r.lang, r.source): (r.n_sampled, r.min_doc_id, r.sum_chars)
+        for r in sample_stratified(spark, curation_dir).collect()
+    }
+    assert again == out
+
+
+def test_pii_scrub_redacts_planted_pii(spark, curation_dir):
+    from spider_1_spark.pipeline.queries import text_pii_scrub
+
+    rows = {r.doc_id: r for r in
+            text_pii_scrub(spark, curation_dir).collect()}
+    assert len(rows) == 400
+    for i, r in rows.items():
+        assert "@" not in r.scrubbed
+        assert "123456789" not in r.scrubbed
+        if i % 10 == 0:
+            assert "<EMAIL>" in r.scrubbed
+        if i % 7 == 0:
+            assert "<NUM>" in r.scrubbed
+        if i % 10 and i % 7:
+            assert r.delta_chars == 0
+        else:
+            # the audit column measures the redaction delta
+            orig = f"doc {i} body with filler words here"
+            if i % 10 == 0:
+                orig += f" contact user{i}@example.com now"
+            if i % 7 == 0:
+                orig += f" account 123456789{i}"
+            assert r.delta_chars == len(orig) - len(r.scrubbed)
+
+
+def test_length_histogram_totals(spark, curation_dir):
+    from spider_1_spark.pipeline.queries import docs_length_histogram
+
+    out = docs_length_histogram(spark, curation_dir).collect()
+    assert sum(r.n_docs for r in out) == 400
+    for r in out:
+        assert r.bin * 100 <= r.min_chars <= r.max_chars < (r.bin + 1) * 100
+        assert r.n_docs * r.min_chars <= r.sum_chars <= r.n_docs * r.max_chars
