@@ -491,6 +491,77 @@ def dedup_embedding_label_blocked(spark, sf):
     )
 
 
+# -------------------------------------------- dedup: connected components
+
+def dedup_cc_embedding(spark, sf, max_rounds: int = 25):
+    """Connected-components clustering of the embedding near-dup pairs.
+
+    The pair stage (dedup_embedding_cosine) emits EDGES; "same
+    document" is the transitive closure of those edges (a~b, b~c =>
+    one cluster), so corpus-level dedup keeps one canonical doc per
+    COMPONENT, not per pair.  Labels every clustered vec_id with the
+    minimum vec_id reachable from it (deterministic under any
+    partitioning) plus the component size; singletons (no near-dup)
+    are excluded by construction.
+
+    Algorithm: distributed min-label propagation — each round every
+    node takes min(own label, neighbours' labels) via one shuffle over
+    the symmetrized edge list, stopping when a round changes no label.
+    Rounds = graph diameter; near-dup graphs are unions of
+    near-cliques (diameter 2-3), so this beats O(log n)-round
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) in practice —
+    switch to that if a corpus ever shows deep chain components
+    (``max_rounds`` guards the pathological case).  Each round
+    localCheckpoints the label frame: iterative plans otherwise grow
+    a lineage that re-executes the whole history every round.
+    """
+    pairs = dedup_embedding_cosine(spark, sf).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select("id_b", "id_a"))
+        .toDF("src", "dst")
+        .repartition("src")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("comp").alias("dst_comp")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "comp", F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.join(labels, ["id", "comp"], "left_anti").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )
+
+
 # ------------------------------------------------------- similarity search
 
 ANN_K, ANN_NQ = 10, 5
@@ -1049,6 +1120,31 @@ def _emb_dedup_sql(
     )
 
 
+def _cc_sql() -> str:
+    """DuckDB oracle for dedup_cc_embedding: the SAME bit-exact pair
+    set (_emb_dedup_sql) closed transitively with a recursive CTE —
+    reach(id, comp) enumerates every (node, reachable node) pair, so
+    min(comp) per id is exactly the min-label the Spark propagation
+    converges to.  Reach is O(sum of component²) rows: fine for an
+    oracle at sf0.01, which is why the distributed side iterates
+    instead."""
+    return (
+        "WITH RECURSIVE "
+        f"dup AS (SELECT id_a, id_b FROM ({_emb_dedup_sql()}) t), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM dup "
+        "UNION ALL SELECT id_b, id_a FROM dup), "
+        "reach(id, comp) AS ("
+        "SELECT DISTINCT src, src FROM edges "
+        "UNION "
+        "SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id), "
+        "labels AS (SELECT id AS vec_id, min(comp) AS component "
+        "FROM reach GROUP BY id) "
+        "SELECT vec_id, component, "
+        "count(*) OVER (PARTITION BY component)::BIGINT AS cluster_size "
+        "FROM labels"
+    )
+
+
 # ------------------------------------------------------------- registries
 
 PIPE_FNS = {
@@ -1058,6 +1154,7 @@ PIPE_FNS = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cc_embedding": dedup_cc_embedding,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1082,6 +1179,7 @@ PIPE_SQL: dict[str, str | None] = {
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
     ),
     "dedup_embedding_cosine": _emb_dedup_sql(),
+    "dedup_cc_embedding": _cc_sql(),
     "ann_cosine_topk": (
         "WITH scored AS (SELECT q.vec_id AS query_id, "
         "c.vec_id AS neighbor_id, "

@@ -302,6 +302,51 @@ def test_embedding_dedup_lsh_recall_vs_label_blocked(spark, sf_dir):
         assert lsh[k] == exact[k]
 
 
+def test_cc_embedding_matches_union_find(spark, sf_dir):
+    """dedup_cc_embedding must equal a pure-Python union-find over the
+    SAME pair set: identical (vec_id -> min-reachable-id) labels and
+    component sizes.  On the 10-cluster fixture the components must
+    also be non-trivial (transitivity matters: a~b, b~c without a~c
+    still lands all three in one cluster)."""
+    from spider_1_spark.pipeline.queries import (
+        dedup_cc_embedding,
+        dedup_embedding_cosine,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture must produce near-dup edges"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the min-label
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+    comp_sizes: dict[int, int] = {}
+    for r in want.values():
+        comp_sizes[r] = comp_sizes.get(r, 0) + 1
+
+    got = dedup_cc_embedding(spark, sf_dir).collect()
+    assert {r.vec_id: r.component for r in got} == want
+    assert all(r.cluster_size == comp_sizes[r.component] for r in got)
+    # the 12-point clusters exercise transitive closure, not just pairs
+    assert max(comp_sizes.values()) >= 3
+
+
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     """A boilerplate-heavy corpus (many identical docs) must not blow
     up the LSH band self-join: buckets above the cap are dropped and
