@@ -251,18 +251,19 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 SIMHASH_BLOCK_CAP = 512
 
 
-def _simhash_blocks(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh, block_idx, block_val): 4 x 16-bit pigeonhole rows."""
-    d = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
-    return d.select(
-        "doc_id",
-        "sh",
+def _blocks64(df: DataFrame, id_col: str, hash_col: str) -> DataFrame:
+    """(_id, _h, block_idx, block_val): 4 x 16-bit pigeonhole rows of
+    any 64-bit hash column — shared by simhash (text) and phash
+    (image) near-dup blocking."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftrightunsigned("sh", 16 * i)
+                        F.shiftrightunsigned(hash_col, 16 * i)
                         .bitwiseAND(F.lit(0xFFFF))
                         .alias("block_val"),
                     )
@@ -270,26 +271,32 @@ def _simhash_blocks(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "sh", "blk.block_idx", "blk.block_val")
+    ).select("_id", "_h", "blk.block_idx", "blk.block_val")
 
 
-def _simhash_pairs(
-    docs: DataFrame, block_cap: int = SIMHASH_BLOCK_CAP
+def _hamming64_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    out_a: str,
+    out_b: str,
+    block_cap: int,
+    max_dist: int,
 ) -> DataFrame:
-    """SimHash near-dup pairs, Hamming distance <= 6, capped blocking.
+    """Near-dup pairs of 64-bit hashes, Hamming <= ``max_dist``,
+    capped pigeonhole blocking.
 
-    Pigeonhole blocking: 4 x 16-bit blocks — pairs within distance 6
-    CAN miss all blocks only if >= 4 blocks differ, i.e. guaranteed
-    recall for distance <= 3; distance 4..6 found with high
-    probability.  Exact verify via bit_count(xor).  Blocks with more
-    than ``block_cap`` members are dropped before the self-join
-    (SIMHASH_BLOCK_CAP; simhash_dropped_blocks reports what a corpus
-    loses to the cap)."""
+    4 x 16-bit blocks — a pair misses every block only if >= 4 blocks
+    differ, i.e. guaranteed recall for distance <= 3; 4..6 found with
+    high probability.  Exact verify via bit_count(xor).  Blocks with
+    more than ``block_cap`` members are dropped before the self-join
+    (bounding each block's join at cap²; the *_dropped_blocks helpers
+    report what a corpus loses to the cap)."""
     # persisted: the cap aggregate, its semi-join probe, and both
-    # self-join sides read this frame — uncached, the per-doc simhash
+    # self-join sides read this frame — uncached, the per-row hash
     # UDF would recompute ~4x over the corpus (same pattern as the
     # minhash signature persist above)
-    blocks = _simhash_blocks(docs).persist()
+    blocks = _blocks64(hashed, id_col, hash_col).persist()
     ok = (
         blocks.groupBy("block_idx", "block_val")
         .agg(F.count("*").alias("_bn"))
@@ -298,25 +305,35 @@ def _simhash_pairs(
     )
     blocks = blocks.join(ok, ["block_idx", "block_val"], "left_semi")
     lhs = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("_id").alias(out_a), F.col("_h").alias("_ha"),
         "block_idx", "block_val",
     )
     rhs = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("_id").alias(out_b), F.col("_h").alias("_hb"),
         "block_idx", "block_val",
     )
     return (
         lhs.join(rhs, ["block_idx", "block_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, "_ha", "_hb")
         .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(F.expr("sh_a ^ sh_b")).cast("int"),
+            F.bit_count(F.expr("_ha ^ _hb")).cast("int"),
         )
-        .filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", "hamming")
+        .filter(F.col("hamming") <= max_dist)
+        .select(out_a, out_b, "hamming")
     )
+
+
+def _simhash_pairs(
+    docs: DataFrame, block_cap: int = SIMHASH_BLOCK_CAP
+) -> DataFrame:
+    """SimHash near-dup pairs, Hamming distance <= 6 (see
+    _hamming64_pairs for the blocking/cap contract)."""
+    d = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    return _hamming64_pairs(d, "doc_id", "sh", "doc_a", "doc_b",
+                            block_cap, 6)
 
 
 def simhash_dropped_blocks(
@@ -325,8 +342,9 @@ def simhash_dropped_blocks(
     """Observability for the block cap: the (block_idx, block_val,
     n_docs) blocks the cap drops — same pattern as lsh_dropped_buckets
     (a dropped block is recall silently traded for a bounded join)."""
+    d = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
     return (
-        _simhash_blocks(docs)
+        _blocks64(d, "doc_id", "sh")
         .groupBy("block_idx", "block_val")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > block_cap)
@@ -1062,6 +1080,102 @@ def multimodal_decode(spark, sf):
     return src.repartition(4, "image_id").mapInPandas(gen, MM_SCHEMA)
 
 
+# ------------------------------------------------- dedup: perceptual hash
+
+PHASH_BLOCK_CAP = 512
+
+
+def _phash_fixture_path(spark) -> str:
+    """Binary-column image table with ENGINEERED duplicate structure:
+    base images from the deterministic synthetic web, plus exact
+    byte-copies and pixel-perturbed (re-encoded) near-duplicates —
+    written once, race-safe rename, same pattern as _mm_fixture_path."""
+    import os
+    import tempfile
+    import uuid
+
+    from spider_1_spark.fixtures.webgen import SyntheticWeb
+    from spider_1_spark.functions.codecs import decode, encode_ppm
+
+    final = os.path.join(tempfile.gettempdir(), "spider1_phash_fixture_v1")
+    if os.path.isdir(final):
+        return final
+    web = SyntheticWeb(4)
+    urls = [
+        f"http://h{k}.example.test/img/{m}.{fmt}"
+        for k in range(2)
+        for m in range(12)
+        for fmt in ("ppm", "png")
+    ]
+    rng = np.random.Generator(np.random.PCG64(99))
+    rows = []
+    for i, u in enumerate(urls):
+        data = web.image(u)
+        rows.append((f"img{i:03d}", data))
+        if i % 6 == 0:  # exact byte-copy -> Hamming 0, always found
+            rows.append((f"img{i:03d}-copy", data))
+        if i % 6 == 3:  # near-dup: sparse ±2 pixel noise, re-encoded
+            rgb, _ = decode(data)
+            noisy = rgb.astype(np.int16)
+            mask = rng.random(noisy.shape[:2]) < 0.02
+            if mask.any():
+                noisy[mask] = np.clip(
+                    noisy[mask]
+                    + rng.integers(-2, 3, size=(int(mask.sum()), 3)),
+                    0, 255,
+                )
+            rows.append((f"img{i:03d}-near",
+                         encode_ppm(noisy.astype(np.uint8))))
+    staging = final + "." + uuid.uuid4().hex[:8]
+    spark.createDataFrame(
+        rows, "image_id string, bytes binary"
+    ).coalesce(4).write.mode("overwrite").parquet(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:  # concurrent writer won the rename
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def dedup_phash_hamming(spark, sf):
+    """Image near-dup pairs by perceptual hash, Hamming <= 6.
+
+    The crawl's image-dedup story at corpus level: decode + dhash64
+    (the same perceptual hash the engine's A15 stage emits) over a
+    real binary-column parquet scan, Arrow-batched, then the SAME
+    capped 4x16-bit pigeonhole self-join the text simhash op uses
+    (_hamming64_pairs) — no all-pairs compare at any corpus size.
+    Undecodable rows are skipped (a production run routes them to the
+    decode_failed counter, engine crawler.py)."""
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.phash import dhash64
+
+    src = spark.read.parquet(_phash_fixture_path(spark))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    rgb, _ = decode(bytes(data))
+                except DecodeError:
+                    continue
+                ids.append(image_id)
+                hs.append(dhash64(rgb))
+            yield pd.DataFrame(
+                {"image_id": ids, "phash": pd.array(hs, dtype="Int64")}
+            )
+
+    hashed = src.repartition(4, "image_id").mapInPandas(
+        gen, "image_id string, phash long"
+    )
+    return _hamming64_pairs(
+        hashed, "image_id", "phash", "img_a", "img_b", PHASH_BLOCK_CAP, 6
+    )
+
+
 # ----------------------------------------------------- generated oracles
 
 def _emb_dedup_sql(
@@ -1167,6 +1281,7 @@ PIPE_FNS = {
     "docs_length_histogram": docs_length_histogram,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "dedup_phash_hamming": dedup_phash_hamming,
 }
 
 PIPE_SQL: dict[str, str | None] = {
@@ -1262,4 +1377,5 @@ PIPE_SQL: dict[str, str | None] = {
     "ann_ivf_bucketed": None,
     "doc_fingerprint": None,
     "multimodal_decode": None,
+    "dedup_phash_hamming": None,  # image decode — no SQL equivalent
 }

@@ -141,15 +141,46 @@ def join_nested_loop_theta(spark, sf):
 
 
 def join_range_interval(spark, sf):
+    """Pairs of same-user events within a 1-hour window, TIME-BANDED.
+
+    A bare equi-join on user_id alone emits O(events-per-user²)
+    intermediate rows before the interval filter — a hot user with
+    10^6 events yields 10^12 pairs at 100 TB.  Banding adds
+    floor(epoch/3600) to the join key: a qualifying pair
+    (0 < b_ts - a_ts <= 1h) always has band(b) ∈ {band(a), band(a)+1},
+    so the left side explodes to those two bands and the join key
+    (user, band) bounds each key group to TWO hours of one user's
+    events — skew now depends on events/user/hour, not on total user
+    history.  Each qualifying pair matches exactly one exploded band
+    (band(b) is a single value), so counts are unchanged.  The band is
+    date_trunc('hour') — wall-clock arithmetic on the tz-naive ts,
+    immune to session-timezone/DST surprises an epoch-seconds bucket
+    (unix_timestamp) could pick up.
+    """
     e = _t(spark, sf, "events")
+
+    def band(c):
+        return F.date_trunc("hour", c)
+
     a = e.select(
-        F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts")
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_ts"),
+    ).withColumn(
+        "band",
+        F.explode(F.array(
+            band(F.col("a_ts")),
+            band(F.col("a_ts")) + F.expr("INTERVAL 1 HOUR"),
+        )),
     )
     b = e.select(
-        F.col("event_id").alias("b_id"), F.col("user_id").alias("u"), F.col("ts").alias("b_ts")
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("b_ts"),
+        band(F.col("ts")).alias("band"),
     )
     return (
-        a.join(b, "u")
+        a.join(b, ["u", "band"])
         .filter(
             (F.col("b_ts") > F.col("a_ts"))
             & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))

@@ -25,6 +25,7 @@ SUBSET = [
     "scan_parquet",
     "join_inner_equi",
     "join_left_anti",
+    "join_range_interval",  # r3: banded rewrite vs the unchanged SQL
     "agg_hash_counts",
     "win_row_number",
     "topk_per_group",

@@ -161,6 +161,47 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
     assert got[(0, 20)] == 0  # exact dup -> identical simhash
 
 
+def test_phash_hamming_matches_python_oracle(spark):
+    """dedup_phash_hamming must equal the pure-Python pigeonhole+
+    popcount oracle over the SAME fixture bytes (shared decode +
+    dhash64 primitives), and the engineered exact byte-copies must
+    surface at Hamming 0."""
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.phash import dhash64
+    from spider_1_spark.pipeline.queries import (
+        _phash_fixture_path,
+        dedup_phash_hamming,
+    )
+
+    rows = spark.read.parquet(_phash_fixture_path(spark)).collect()
+    hashes = {}
+    for r in rows:
+        try:
+            rgb, _ = decode(bytes(r.bytes))
+        except DecodeError:
+            continue
+        h = dhash64(rgb)
+        hashes[r.image_id] = h & ((1 << 64) - 1)
+    expect = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        ha, hb = hashes[a], hashes[b]
+        blocks_equal = any(
+            ((ha >> (16 * k)) & 0xFFFF) == ((hb >> (16 * k)) & 0xFFFF)
+            for k in range(4)
+        )
+        ham = bin(ha ^ hb).count("1")
+        if blocks_equal and ham <= 6:
+            expect[(a, b)] = ham
+    got = {
+        (r.img_a, r.img_b): r.hamming
+        for r in dedup_phash_hamming(spark, None).collect()
+    }
+    assert got == expect
+    copies = [(a, b) for (a, b) in got if b == a + "-copy"]
+    assert copies, "exact byte-copies must pair"
+    assert all(got[p] == 0 for p in copies)
+
+
 def test_doc_fingerprint_matches_python_oracle(spark, sf_dir):
     from spider_1_spark.pipeline.queries import doc_fingerprint
 
