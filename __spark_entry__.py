@@ -115,23 +115,25 @@ _FIRST_KEYS = (
     "docs_length_histogram",
     "dedup_cc_embedding",
     "dedup_phash_hamming",
+    "stream_stateful_first_seen",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 66 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 67 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
-# dedup_cc_embedding, dedup_phash_hamming) and a 50-row window,
-# sixteen keys must fall outside it: this whole list plus the two
-# unpinned rows-only keys (doc_fingerprint, multimodal_decode — r02
-# full rows, untouched in r3).  The keys here all carry BOTH r01 and
-# r02 full-pass rows, are untouched in round 3 (git diff touches none
-# of them), and are the structurally simplest queries — they lose the
-# least.  Every key then has a driver row in r02 ∪ r03 and every
-# round-3-changed key has an r03 row.
+# dedup_cc_embedding, dedup_phash_hamming, stream_stateful_first_seen)
+# and a 50-row window, seventeen keys must fall outside it: this whole
+# list plus the two unpinned rows-only keys (doc_fingerprint,
+# multimodal_decode — r02 full rows, untouched in r3).  The keys here
+# all carry BOTH r01 and r02 full-pass rows, are untouched in round 3
+# (git diff touches none of them), and are the structurally simplest
+# queries — they lose the least.  Every key then has a driver row in
+# r02 ∪ r03 and every round-3-changed key has an r03 row.
 _LAST_FULL_KEYS = (
+    "win_lag_lead",
     "win_rank_dense",
     "sort_key",
     "scan_parquet",

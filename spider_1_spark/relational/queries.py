@@ -535,6 +535,105 @@ def udaf_via_applyInPandas(spark, sf):
     )
 
 
+def stream_stateful_first_seen(spark, sf):
+    """SURVEY §2B ``applyInPandasWithState``: a REAL Structured
+    Streaming stateful operator — the crawl's seen-filter semantics as
+    a stream.  readStream over the events parquet, keyed state per
+    (user_id, event_type) tracking first-seen ts + count, memory sink,
+    ``availableNow`` trigger (drains the source then stops, so the
+    call is deterministic and returns a batch DataFrame).
+
+    Per-key output is min(ts)/count — order-insensitive within a key,
+    so the result is identical at any partitioning/batch split and the
+    plain GROUP BY SQL oracle matches exactly.  At scale this is the
+    standard streaming-dedup shape: state shuffled by key, one state
+    row per live key, late rows folded by the same min/sum (a
+    production deploy adds a watermark + state TTL to bound the
+    store).  State stores epoch-micros (state schema longs only)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src_file = os.path.abspath(f"{sf}/events.parquet")
+    # FileStreamSource requires a DIRECTORY; the fixture tables are
+    # single files — stage a copy into a per-source temp dir once
+    # (race-safe first-writer-wins rename, same as _mm_fixture_path)
+    key = hashlib.md5(src_file.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spider1_stream_{key}")
+    if not os.path.isdir(path):
+        staging = path + "." + uuid.uuid4().hex[:8]
+        os.makedirs(staging)
+        shutil.copy(src_file, os.path.join(staging, "events.parquet"))
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename
+            shutil.rmtree(staging, ignore_errors=True)
+    schema = spark.read.parquet(path).schema
+
+    def first_seen(key, pdfs, state: GroupState):
+        first_us, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            ts = pd.Series(pdf["ts"])
+            if getattr(ts.dtype, "tz", None) is not None:
+                # tz-aware arrow batch: normalize to the stored UTC
+                # instant (same int64 micros DuckDB's epoch_us reads)
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            us = ts.astype("datetime64[us]").astype("int64")
+            lo = int(us.min())
+            first_us = lo if first_us is None else min(first_us, lo)
+            n += len(us)
+        state.update((first_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_us": pd.array([first_us], dtype="Int64"),
+                "n_events": pd.array([n], dtype="Int64"),
+            }
+        )
+
+    name = "first_seen_" + uuid.uuid4().hex[:12]
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=(
+                "user_id long, event_type string, "
+                "first_us long, n_events long"
+            ),
+            stateStructType="first_us long, n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per key per micro-batch; availableNow
+    # may split the drain into several batches, so keep the LAST (the
+    # running min/count folds monotonically — max n_events is final)
+    t = spark.table(name)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    # first_us stays integer epoch-micros end-to-end (state, output,
+    # oracle epoch_us()) — no timestamp/session-tz round-trip anywhere
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "first_us", "n_events")
+    )
+
+
 # ------------------------------------------------------ sources / sinks
 
 SEED_URLS = [
@@ -790,6 +889,11 @@ SQL: dict[str, str | None] = {
         "max(n_chars)::BIGINT AS max_chars, count(*)::BIGINT AS n_docs "
         "FROM documents GROUP BY lang"
     ),
+    "stream_stateful_first_seen": (
+        "SELECT user_id, event_type, epoch_us(min(ts))::BIGINT "
+        "AS first_us, count(*)::BIGINT AS n_events "
+        "FROM events GROUP BY user_id, event_type"
+    ),
     "stream_tumbling_1h": (
         "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
         "count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v "
@@ -856,6 +960,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_fns": hash_fns,
     "udf_grouped_map": udf_grouped_map,
     "udaf_via_applyInPandas": udaf_via_applyInPandas,
+    "stream_stateful_first_seen": stream_stateful_first_seen,
     "stream_tumbling_1h": stream_tumbling_1h,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,

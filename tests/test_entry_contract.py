@@ -32,6 +32,7 @@ SUBSET = [
     "set_except",
     "map_json_fns",
     "stream_session",
+    "stream_stateful_first_seen",  # r3: real streaming stateful op
 ]
 
 
