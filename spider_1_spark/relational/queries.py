@@ -535,6 +535,91 @@ def udaf_via_applyInPandas(spark, sf):
     )
 
 
+def _stream_src_dir(sf: str, table: str = "events") -> str:
+    """Stage a single-file fixture table into a per-source temp DIR —
+    FileStreamSource requires a directory, the fixtures are single
+    files.  Race-safe first-writer-wins rename (same discipline as the
+    multimodal fixture writer); keyed by absolute source path so
+    concurrent/repeated callers share one staging."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src_file = os.path.abspath(f"{sf}/{table}.parquet")
+    key = hashlib.md5(src_file.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spider1_stream_{key}")
+    if not os.path.isdir(path):
+        staging = path + "." + uuid.uuid4().hex[:8]
+        os.makedirs(staging)
+        shutil.copy(src_file, os.path.join(staging, f"{table}.parquet"))
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def stream_watermark_late(spark, sf):
+    """SURVEY §2B streaming taxonomy: WATERMARK + late-data discipline
+    — a real ``readStream`` tumbling-window aggregation in APPEND
+    output mode.  Append mode only emits a window after the watermark
+    (max event time − 1 h delay) passes the window END, i.e. after the
+    engine has decided no more late rows can join it; windows still
+    open when the source drains are withheld.  This is the exact
+    late-data mechanism SURVEY §2B documented as the upgrade path for
+    a continuously-fed frontier, demonstrated end-to-end.
+
+    Determinism + tz-independence: the staged source is one file →
+    ``availableNow`` processes it as ONE data micro-batch (every
+    window aggregates ALL its rows before any emission decision), then
+    the trailing no-data batch advances the watermark to
+    ``ms(max event time) − 3 600 000`` and flushes closed windows.
+    Event time is built from the NTZ wall clock by pure arithmetic
+    (micros since the NTZ epoch → ``timestamp_micros``), and the
+    output is integer epoch-ms — no session-timezone round-trip on
+    either side, verified under an adversarial session tz.  Emission
+    boundary is ``window_end <= watermark`` (pinned by the exact-
+    boundary fixture in tests/test_entry_contract.py), which the SQL
+    oracle mirrors.  At scale: state is shuffled by window key, one
+    row per open window, and the watermark bounds the state store —
+    the standard production shape for late-data streaming aggs."""
+    import uuid
+
+    path = _stream_src_dir(sf)
+    schema = spark.read.parquet(path).schema
+    # NTZ wall time -> epoch micros (pure arithmetic, no tz) -> the
+    # instant with that UTC wall time (watermarks require TIMESTAMP)
+    ev = F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    )
+    name = "wm_late_" + uuid.uuid4().hex[:12]
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ev", ev)
+        .withWatermark("ev", "1 hour")
+        .groupBy(F.window("ev", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_millis(F.col("win.start")).alias("window_ms"), "n", "sum_v"
+    )
+
+
 def stream_stateful_first_seen(spark, sf):
     """SURVEY §2B ``applyInPandasWithState``: a REAL Structured
     Streaming stateful operator — the crawl's seen-filter semantics as
@@ -550,28 +635,11 @@ def stream_stateful_first_seen(spark, sf):
     row per live key, late rows folded by the same min/sum (a
     production deploy adds a watermark + state TTL to bound the
     store).  State stores epoch-micros (state schema longs only)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src_file = os.path.abspath(f"{sf}/events.parquet")
-    # FileStreamSource requires a DIRECTORY; the fixture tables are
-    # single files — stage a copy into a per-source temp dir once
-    # (race-safe first-writer-wins rename, same as _mm_fixture_path)
-    key = hashlib.md5(src_file.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"spider1_stream_{key}")
-    if not os.path.isdir(path):
-        staging = path + "." + uuid.uuid4().hex[:8]
-        os.makedirs(staging)
-        shutil.copy(src_file, os.path.join(staging, "events.parquet"))
-        try:
-            os.rename(staging, path)
-        except OSError:  # concurrent writer won the rename
-            shutil.rmtree(staging, ignore_errors=True)
+    path = _stream_src_dir(sf)
     schema = spark.read.parquet(path).schema
 
     def first_seen(key, pdfs, state: GroupState):
@@ -899,6 +967,16 @@ SQL: dict[str, str | None] = {
         "count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v "
         "FROM events GROUP BY 1"
     ),
+    # watermark = ms-truncated max event time - 1h (Spark's event-time
+    # stats are ms-truncated); append mode emits iff window_end <= wm
+    "stream_watermark_late": (
+        "WITH w AS (SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) "
+        "AS window_ms, count(*)::BIGINT AS n, round(sum(value), 4) AS "
+        "sum_v FROM events GROUP BY 1), "
+        "m AS (SELECT epoch_ms(max(ts)) - 3600000 AS wm FROM events) "
+        "SELECT window_ms, n, sum_v FROM w, m "
+        "WHERE window_ms + 3600000 <= wm"
+    ),
     "stream_sliding": (
         "SELECT ws AS window_start, count(*)::BIGINT AS n FROM ("
         "SELECT time_bucket(INTERVAL '15 minutes', ts) "
@@ -962,6 +1040,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_via_applyInPandas": udaf_via_applyInPandas,
     "stream_stateful_first_seen": stream_stateful_first_seen,
     "stream_tumbling_1h": stream_tumbling_1h,
+    "stream_watermark_late": stream_watermark_late,
     "stream_sliding": stream_sliding,
     "stream_session": stream_session,
 }

@@ -33,6 +33,7 @@ SUBSET = [
     "map_json_fns",
     "stream_session",
     "stream_stateful_first_seen",  # r3: real streaming stateful op
+    "stream_watermark_late",  # r3: watermark + late-data append mode
 ]
 
 
@@ -91,6 +92,55 @@ def test_query_matches_duckdb(spark, duck, key):
     dc, dv = _norm([d[0] for d in res.description], res.fetchall())
     assert sc == dc
     assert sv == dv
+
+
+def test_watermark_emission_boundary(spark, tmp_path):
+    """Pins the append-mode emission predicate the stream_watermark_late
+    oracle mirrors: a window whose END equals the final watermark
+    EXACTLY (max ts 02:00, delay 1 h -> wm 01:00 == end of the
+    [00:00, 01:00) window) IS emitted — i.e. ``window_end <= wm``, not
+    ``<``.  A Spark-version change in the boundary would silently
+    invert this; the oracle SQL's ``<=`` must flip with it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 10, 0)),
+        (2, dt.datetime(2024, 1, 1, 0, 50, 0)),
+        (3, dt.datetime(2024, 1, 1, 2, 0, 0)),
+    ]
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz"
+    ).coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    ev = F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ev", ev)
+        .withWatermark("ev", "1 hour")
+        .groupBy(F.window("ev", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("wm_boundary_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("wm_boundary_test").select(
+        F.unix_millis("win.start").alias("s"), "n"
+    ).collect()
+    # only the closed window emits, with all its rows; the 02:00 row's
+    # own (still-open) window is withheld
+    assert [(r.s, r.n) for r in out] == [(1704067200000, 2)]
 
 
 def test_entry_returns_flagship_images(spark):
