@@ -117,25 +117,27 @@ _FIRST_KEYS = (
     "dedup_phash_hamming",
     "stream_stateful_first_seen",
     "stream_watermark_late",
+    "join_asof",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 68 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 69 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
 # dedup_cc_embedding, dedup_phash_hamming, stream_stateful_first_seen,
-# stream_watermark_late) and a 50-row window, eighteen keys must fall
-# outside it: this whole list plus the two unpinned rows-only keys
-# (doc_fingerprint, multimodal_decode — r02 full rows, untouched in
-# r3).  The keys here all carry r02 full-pass rows (all but
-# text_langid carry r01 rows too), are untouched in round 3 (git diff
-# touches none of them), and are the structurally simplest queries —
-# they lose the least.  Every key then has a driver row in r02 ∪ r03
-# and every round-3-changed key has an r03 row.
+# stream_watermark_late, join_asof) and a 50-row window, nineteen keys
+# must fall outside it: this whole list plus the two unpinned
+# rows-only keys (doc_fingerprint, multimodal_decode — r02 full rows,
+# untouched in r3).  The keys here all carry r02 full-pass rows (all
+# but text_langid carry r01 rows too), are untouched in round 3 (git
+# diff touches none of them), and are the structurally simplest
+# queries — they lose the least.  Every key then has a driver row in
+# r02 ∪ r03 and every round-3-changed key has an r03 row.
 _LAST_FULL_KEYS = (
     "text_langid",
+    "agg_rollup",
     "win_lag_lead",
     "win_rank_dense",
     "sort_key",

@@ -190,6 +190,66 @@ def join_range_interval(spark, sf):
     )
 
 
+def join_asof(spark, sf):
+    """AS-OF (point-in-time) join — the training-pipeline staple Spark
+    has no native operator for: each 'error' event is matched to the
+    most recent 'purchase' by the same user at or before it (the
+    attribution/feature-lookup shape: "state as of event time").
+
+    Implemented as the scale-safe union + sorted carry-forward, NOT a
+    pair join: tag both sides, sort each user's rows by (ts, side)
+    with the right side first at ties (so a purchase at exactly e.ts
+    matches, mirroring ASOF's ``<=``), and carry the last non-null
+    purchase forward with ``last(..., ignorenulls=True)`` over a
+    running row frame.  One shuffle on user_id, O(n log n) per user,
+    ZERO intermediate pair blowup — a hot user with 10^6 events costs
+    10^6 window rows, not the 10^12 pairs an equi-join + filter would
+    emit; this is the plan that survives 100 TB.  The right side is
+    pre-deduped to one purchase per (user, ts) — max(event_id), same
+    on both engines — because ASOF semantics are otherwise undefined
+    under timestamp ties.  Unmatched errors keep NULLs (left asof).
+    Epoch-micros arithmetic for the gap, tz-independent.  DuckDB
+    verifies with its native ASOF LEFT JOIN."""
+    e = _t(spark, sf, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    un = p.select(
+        "user_id", "ts", F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("event_id"), "purchase_id",
+    ).unionByName(
+        err.select(
+            "user_id", "ts", F.lit(1).alias("src"), "event_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    return (
+        un.withColumn("pid", F.last("purchase_id", ignorenulls=True).over(w))
+        .withColumn(
+            "p_us",
+            F.last(F.when(F.col("src") == 0, us), ignorenulls=True).over(w),
+        )
+        .filter(F.col("src") == 1)
+        .select(
+            "event_id", "user_id", F.col("pid").alias("purchase_id"),
+            (us - F.col("p_us")).alias("gap_us"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- aggs
 
 def agg_hash_counts(spark, sf):
@@ -825,6 +885,18 @@ SQL: dict[str, str | None] = {
         "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1 hour' "
         "GROUP BY a.user_id"
     ),
+    # right side deduped per (user, ts) on BOTH engines: ASOF under
+    # timestamp ties is otherwise undefined
+    "join_asof": (
+        "WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id "
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), "
+        "e AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'error') "
+        "SELECT e.event_id, e.user_id, p.purchase_id, "
+        "epoch_us(e.ts) - epoch_us(p.ts) AS gap_us "
+        "FROM e ASOF LEFT JOIN p "
+        "ON e.user_id = p.user_id AND p.ts <= e.ts"
+    ),
     "agg_hash_counts": (
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "
@@ -1013,6 +1085,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": join_left_outer,
     "join_nested_loop_theta": join_nested_loop_theta,
     "join_range_interval": join_range_interval,
+    "join_asof": join_asof,
     "agg_hash_counts": agg_hash_counts,
     "agg_count_distinct": agg_count_distinct,
     "agg_approx_distinct": agg_approx_distinct,

@@ -26,6 +26,7 @@ SUBSET = [
     "join_inner_equi",
     "join_left_anti",
     "join_range_interval",  # r3: banded rewrite vs the unchanged SQL
+    "join_asof",  # r3: as-of join via union + carry-forward window
     "agg_hash_counts",
     "win_row_number",
     "topk_per_group",
