@@ -124,20 +124,22 @@ _FIRST_KEYS = (
     "crawl_decode_phash",
 )
 
-# With 69 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 70 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
-# dedup_cc_embedding, dedup_phash_hamming, stream_stateful_first_seen,
-# stream_watermark_late, join_asof) and a 50-row window, nineteen keys
-# must fall outside it: this whole list plus the two unpinned
-# rows-only keys (doc_fingerprint, multimodal_decode — r02 full rows,
-# untouched in r3).  The keys here all carry r02 full-pass rows (all
-# but text_langid carry r01 rows too), are untouched in round 3 (git
-# diff touches none of them), and are the structurally simplest
-# queries — they lose the least.  Every key then has a driver row in
-# r02 ∪ r03 and every round-3-changed key has an r03 row.
+# docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
+# stream_stateful_first_seen, stream_watermark_late, join_asof) and a
+# 50-row window, twenty keys must fall outside it: this whole list
+# plus the two unpinned rows-only keys (doc_fingerprint,
+# multimodal_decode — r02 full rows, untouched in r3).  The keys here
+# all carry r02 full-pass rows (all but text_langid carry r01 rows
+# too), are untouched in round 3 (git diff touches none of them), and
+# are the structurally simplest queries — they lose the least.  Every
+# key then has a driver row in r02 ∪ r03 and every round-3-changed
+# key has an r03 row.
 _LAST_FULL_KEYS = (
     "text_langid",
     "agg_rollup",
+    "array_fns",
     "win_lag_lead",
     "win_rank_dense",
     "sort_key",

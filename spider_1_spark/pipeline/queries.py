@@ -960,6 +960,64 @@ def docs_length_histogram(spark, sf):
     )
 
 
+# Interpolated-quantile fractions for the curation cutoff report.
+_Q_PS = (0.5, 0.95, 0.99)
+
+
+def docs_quantiles(spark, sf):
+    """Exact per-language length quantiles (p50/p95/p99 of n_chars) —
+    the numbers every min/max-length curation cutoff is read off of.
+
+    Scale design: NOT a per-group sort of raw rows (a window ordered
+    by n_chars would put an entire dominant language in one task).
+    Instead build the value-histogram CDF: groupBy (lang, n_chars)
+    with map-side combine leaves O(distinct lengths x partitions)
+    shuffle rows regardless of corpus size, and the running-sum
+    window then runs over the tiny aggregated frame.  The quantile at
+    fraction p is read off the CDF as the first value whose
+    cumulative count reaches rank floor/ceil(1+(n-1)p), linearly
+    interpolated — the same type-7 definition DuckDB's quantile_cont
+    and numpy's 'linear' use, so the oracle match is exact (both
+    sides compute (n-1)*p in IEEE doubles).  Works for any integer or
+    low-cardinality column; for continuous doubles at 10^9 rows the
+    same shape applies after fixed-width binning (or Spark's
+    approx_percentile when a t-digest error bound is acceptable)."""
+    d = _docs(spark, sf)
+    cw = Window.partitionBy("lang").orderBy("n_chars")
+    tw = Window.partitionBy("lang")
+    cdf = (
+        d.groupBy("lang", "n_chars")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(cw))
+        .withColumn("n", F.sum("cnt").over(tw))
+    )
+
+    def _rank_mins(p, tag):
+        pos = F.lit(1.0) + (F.col("n") - F.lit(1)) * F.lit(p)
+        return [
+            F.min(
+                F.when(F.col("cum") >= F.floor(pos), F.col("n_chars"))
+            ).alias(f"_vlo_{tag}"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(pos), F.col("n_chars"))
+            ).alias(f"_vhi_{tag}"),
+        ]
+
+    def _interp(p, tag):
+        pos = F.lit(1.0) + (F.col("n") - F.lit(1)) * F.lit(p)
+        frac = pos - F.floor(pos)
+        lo, hi = F.col(f"_vlo_{tag}"), F.col(f"_vhi_{tag}")
+        return F.round(lo + frac * (hi - lo), 4).alias(f"p{tag}")
+
+    tags = [str(int(p * 100)) for p in _Q_PS]
+    agg = cdf.groupBy("lang", "n").agg(
+        *[c for p, t in zip(_Q_PS, tags) for c in _rank_mins(p, t)]
+    )
+    return agg.select(
+        "lang", "n", *[_interp(p, t) for p, t in zip(_Q_PS, tags)]
+    )
+
+
 def doc_fingerprint(spark, sf):
     """Winnowing fingerprints (rolling k-gram hash, min-in-window):
     exploded (doc_id, fp) rows — overlap of fp sets across docs is the
@@ -1279,6 +1337,7 @@ PIPE_FNS = {
     "sample_stratified": sample_stratified,
     "text_pii_scrub": text_pii_scrub,
     "docs_length_histogram": docs_length_histogram,
+    "docs_quantiles": docs_quantiles,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
     "dedup_phash_hamming": dedup_phash_hamming,
@@ -1367,6 +1426,14 @@ PIPE_SQL: dict[str, str | None] = {
         "count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars, "
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars "
         "FROM documents GROUP BY 1"
+    ),
+    "docs_quantiles": (
+        "SELECT lang, count(*)::BIGINT AS n, "
+        + ", ".join(
+            f"round(quantile_cont(n_chars, {p}), 4) AS p{int(p * 100)}"
+            for p in _Q_PS
+        )
+        + " FROM documents GROUP BY lang"
     ),
     # rows-only (pytest oracles in tests/test_pipeline.py):
     "dedup_minhash_lsh": None,

@@ -27,6 +27,7 @@ SUBSET = [
     "join_left_anti",
     "join_range_interval",  # r3: banded rewrite vs the unchanged SQL
     "join_asof",  # r3: as-of join via union + carry-forward window
+    "docs_quantiles",  # r3: exact CDF quantiles vs quantile_cont
     "agg_hash_counts",
     "win_row_number",
     "topk_per_group",

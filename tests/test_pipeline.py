@@ -682,3 +682,30 @@ def test_length_histogram_totals(spark, curation_dir):
     for r in out:
         assert r.bin * 100 <= r.min_chars <= r.max_chars < (r.bin + 1) * 100
         assert r.n_docs * r.min_chars <= r.sum_chars <= r.n_docs * r.max_chars
+
+
+def test_docs_quantiles_match_numpy_linear(spark, curation_dir):
+    """The CDF-readoff quantiles equal numpy's type-7 'linear'
+    definition per language — the independent oracle for the exact
+    interpolation (the DuckDB quantile_cont lockstep is covered by
+    the entry-contract test)."""
+    from spider_1_spark.pipeline.queries import _Q_PS, docs_quantiles
+
+    out = {r.lang: r for r in docs_quantiles(spark, curation_dir).collect()}
+    lens: dict[str, list[int]] = {}
+    for i in range(400):
+        lang = ("en", "es", "de", "fr")[i % 4]
+        text = f"doc {i} body with filler words here"
+        if i % 10 == 0:
+            text += f" contact user{i}@example.com now"
+        if i % 7 == 0:
+            text += f" account 123456789{i}"
+        lens.setdefault(lang, []).append(len(text))
+    assert set(out) == set(lens)
+    for lang, vals in lens.items():
+        r = out[lang]
+        assert r.n == len(vals)
+        for p in _Q_PS:
+            got = getattr(r, f"p{int(p * 100)}")
+            want = round(float(np.quantile(vals, p, method="linear")), 4)
+            assert got == pytest.approx(want, abs=1e-9), (lang, p)
