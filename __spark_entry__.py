@@ -118,19 +118,21 @@ _FIRST_KEYS = (
     "stream_stateful_first_seen",
     "stream_watermark_late",
     "join_asof",
+    "udtf_lateral_tokens",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 70 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 71 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
 # docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
-# stream_stateful_first_seen, stream_watermark_late, join_asof) and a
-# 50-row window, twenty keys must fall outside it: this whole list
-# plus the two unpinned rows-only keys (doc_fingerprint,
-# multimodal_decode — r02 full rows, untouched in r3).  The keys here
+# stream_stateful_first_seen, stream_watermark_late, join_asof,
+# udtf_lateral_tokens) and a 50-row window, twenty-one keys must fall
+# outside it: this whole list plus the two unpinned rows-only keys
+# (doc_fingerprint, multimodal_decode — r02 full rows, untouched in
+# r3).  The keys here
 # all carry r02 full-pass rows (all but text_langid carry r01 rows
 # too), are untouched in round 3 (git diff touches none of them), and
 # are the structurally simplest queries — they lose the least.  Every
@@ -138,6 +140,7 @@ _FIRST_KEYS = (
 # key has an r03 row.
 _LAST_FULL_KEYS = (
     "text_langid",
+    "agg_count_distinct",
     "agg_rollup",
     "array_fns",
     "win_lag_lead",

@@ -595,6 +595,36 @@ def udaf_via_applyInPandas(spark, sf):
     )
 
 
+def udtf_lateral_tokens(spark, sf):
+    """SURVEY §2B ``udtf`` — Python UDTF (Spark 4 ``@udtf``), the
+    one-row→many-rows taxonomy form, shaped like the A13 extraction
+    fan-out (a token stream with document positions).  The ENGINE
+    keeps ``posexplode`` for extraction — pure JVM, the §2B rationale
+    for the hot path stands — this key demonstrates the UDTF form
+    itself with an exact DuckDB oracle (``unnest`` zipped with
+    ``generate_subscripts``).  ``useArrow=True`` keeps the JVM↔Python
+    transfer Arrow-batched; the per-row ``eval`` is inherent to the
+    UDTF protocol, which is why the engine does not use it.  Bounded
+    to doc_id < 25 so the fan-out stays fixture-sized."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, token: string",
+          useArrow=True)
+    class TokenStream:
+        def eval(self, doc_id, text):
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, i + 1, tok
+
+    _t(spark, sf, "documents").where(F.col("doc_id") < 25).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs_src")
+    spark.udtf.register("token_stream", TokenStream)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token FROM udtf_docs_src d, "
+        "LATERAL token_stream(d.doc_id, d.text) t"
+    )
+
+
 def _stream_src_dir(sf: str, table: str = "events") -> str:
     """Stage a single-file fixture table into a per-source temp DIR —
     FileStreamSource requires a directory, the fixtures are single
@@ -1029,6 +1059,11 @@ SQL: dict[str, str | None] = {
         "max(n_chars)::BIGINT AS max_chars, count(*)::BIGINT AS n_docs "
         "FROM documents GROUP BY lang"
     ),
+    "udtf_lateral_tokens": (
+        "SELECT doc_id, CAST(generate_subscripts(l, 1) AS INT) AS pos, "
+        "unnest(l) AS token FROM (SELECT doc_id, "
+        "string_split(text, ' ') AS l FROM documents WHERE doc_id < 25)"
+    ),
     "stream_stateful_first_seen": (
         "SELECT user_id, event_type, epoch_us(min(ts))::BIGINT "
         "AS first_us, count(*)::BIGINT AS n_events "
@@ -1111,6 +1146,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_fns": hash_fns,
     "udf_grouped_map": udf_grouped_map,
     "udaf_via_applyInPandas": udaf_via_applyInPandas,
+    "udtf_lateral_tokens": udtf_lateral_tokens,
     "stream_stateful_first_seen": stream_stateful_first_seen,
     "stream_tumbling_1h": stream_tumbling_1h,
     "stream_watermark_late": stream_watermark_late,

@@ -36,6 +36,7 @@ SUBSET = [
     "stream_session",
     "stream_stateful_first_seen",  # r3: real streaming stateful op
     "stream_watermark_late",  # r3: watermark + late-data append mode
+    "udtf_lateral_tokens",  # r3: Python UDTF lateral fan-out
 ]
 
 
