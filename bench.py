@@ -14,6 +14,9 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
   SPARK_GRAFT_BENCH_N  frontier rows (default 1_000_000)
   SPARK_GRAFT_BENCH_HOSTS  host universe (default 10_000)
+  SPARK_GRAFT_BENCH_CRAWL_REPS  crawl reps, median reported (default 3
+      — this VM drifts up to 3.4x per run on identical configs, so a
+      single-shot crawl headline is noise; see BENCH/BASELINE.md §3i)
 """
 
 from __future__ import annotations
@@ -210,7 +213,27 @@ def main() -> int:
         # warm-up (excluded per BASELINE.md protocol): JVM/codegen/Arrow
         crawl_bench(spark, 20_000, 200, warm=True)
 
-        crawl = crawl_bench(spark, n_rows, n_hosts)
+        # The crawl headline is the MEDIAN of >=1 identical reps: this
+        # VM's per-run drift reached 3.4x on identical configs in round
+        # 3 (same commit, local[32], 10^6 rows: 90-305 s across seven
+        # runs in one afternoon; an interleaved 4-variant A/B showed
+        # the spread is uncorrelated with engine version — BENCH/
+        # BASELINE.md §1/§3i), so a single-shot headline is a coin
+        # flip, not a measurement.  Counters are asserted identical
+        # across reps (determinism check riding along for free).
+        crawl_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CRAWL_REPS", "3"))
+        runs = [crawl_bench(spark, n_rows, n_hosts)
+                for _ in range(max(1, crawl_reps))]
+        for r in runs[1:]:
+            assert r["counters"] == runs[0]["counters"], (
+                "nondeterministic crawl counters across bench reps: "
+                f"{r['counters']} vs {runs[0]['counters']}"
+            )
+        import statistics
+
+        med = statistics.median(r["elapsed_s"] for r in runs)
+        crawl = min(runs, key=lambda r: abs(r["elapsed_s"] - med))
+        crawl["rep_elapsed_s"] = [r["elapsed_s"] for r in runs]
     finally:
         spark.stop()
 
@@ -263,6 +286,7 @@ def main() -> int:
         "counters": crawl["counters"],
         "images_rows": crawl["images_rows"],
         "payload": crawl["payload"],
+        "crawl_rep_elapsed_s": crawl.get("rep_elapsed_s"),
     }
     print(json.dumps(out))
     return 0

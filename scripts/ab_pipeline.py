@@ -40,6 +40,8 @@ def run(tree: str, cpus: int, n_rows: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_N=str(n_rows),
         PYTHONPATH=tree,
+        # interleaving across variants IS this harness's rep scheme
+        SPARK_GRAFT_BENCH_CRAWL_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(tree, "bench.py")],

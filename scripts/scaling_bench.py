@@ -24,6 +24,8 @@ def run(cpus: int, n_rows: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_N=str(n_rows),
         PYTHONPATH=REPO,
+        # reps are taken across invocations here, not inside bench.py
+        SPARK_GRAFT_BENCH_CRAWL_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

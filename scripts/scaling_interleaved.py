@@ -27,6 +27,9 @@ def run(cpus: int, n_rows: int, rep: int = 0) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_BENCH_N=str(n_rows),
         PYTHONPATH=REPO,
+        # this harness does its own interleaved reps across bench
+        # invocations; the in-bench crawl-rep median would triple legs
+        SPARK_GRAFT_BENCH_CRAWL_REPS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
