@@ -119,20 +119,22 @@ _FIRST_KEYS = (
     "stream_watermark_late",
     "join_asof",
     "udtf_lateral_tokens",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 71 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 73 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
 # docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
 # stream_stateful_first_seen, stream_watermark_late, join_asof,
-# udtf_lateral_tokens) and a 50-row window, twenty-one keys must fall
-# outside it: this whole list plus the two unpinned rows-only keys
-# (doc_fingerprint, multimodal_decode — r02 full rows, untouched in
-# r3).  The keys here
+# udtf_lateral_tokens, source_csv_roundtrip, source_json_roundtrip)
+# and a 50-row window, twenty-three keys must fall outside it: this
+# whole list plus the two unpinned rows-only keys (doc_fingerprint,
+# multimodal_decode — r02 full rows, untouched in r3).  The keys here
 # all carry r02 full-pass rows (all but text_langid carry r01 rows
 # too), are untouched in round 3 (git diff touches none of them), and
 # are the structurally simplest queries — they lose the least.  Every
@@ -141,6 +143,8 @@ _FIRST_KEYS = (
 _LAST_FULL_KEYS = (
     "text_langid",
     "agg_count_distinct",
+    "join_left_semi",
+    "filter_range_ts",
     "agg_rollup",
     "array_fns",
     "win_lag_lead",

@@ -844,6 +844,45 @@ def sink_partitioned(spark, sf):
     )
 
 
+def source_csv_roundtrip(spark, sf):
+    """CSV source/sink: write a dimension slice to headered CSV, read
+    it back with an explicit schema (never inferSchema — a second scan
+    and type drift), and return the rows.  CSV is the interchange
+    format crawl seed lists and host allowlists actually arrive in;
+    the text round-trip must be value-exact for ints/strings (nation
+    has no quoting/escaping edge — those belong to the codec, not this
+    key).  Oracle: the same rows straight off the parquet view."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="spider1_csv_"), "t")
+    _t(spark, sf, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).option("header", True).csv(out)
+
+
+def source_json_roundtrip(spark, sf):
+    """JSON-lines source/sink: write an orders slice to JSONL, read it
+    back with an explicit schema.  JSONL is the landing format for
+    fetched-page metadata on a real crawl; doubles round-trip exactly
+    (Spark prints the shortest repr that parses back to the same
+    IEEE value).  Oracle: the same slice off the parquet view."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="spider1_json_"), "t")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(out)
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
@@ -860,6 +899,13 @@ SQL: dict[str, str | None] = {
     "sink_partitioned": (
         "SELECT count(*) AS n_f, round(sum(o_totalprice), 2) AS sum_price "
         "FROM orders WHERE o_orderstatus = 'F'"
+    ),
+    "source_csv_roundtrip": (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
+    "source_json_roundtrip": (
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey < 3000"
     ),
     "scan_parquet": "SELECT count(*) AS n FROM lineitem",
     "scan_projection_pushdown": (
@@ -1106,6 +1152,8 @@ SQL: dict[str, str | None] = {
 
 FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_inline": source_inline,
+    "source_csv_roundtrip": source_csv_roundtrip,
+    "source_json_roundtrip": source_json_roundtrip,
     "sink_append_parquet": sink_append_parquet,
     "sink_partitioned": sink_partitioned,
     "scan_parquet": scan_parquet,
