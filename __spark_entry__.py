@@ -121,20 +121,23 @@ _FIRST_KEYS = (
     "udtf_lateral_tokens",
     "source_csv_roundtrip",
     "source_json_roundtrip",
+    "emb_centroid_per_label",
+    "docs_ngram_topk",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 73 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 75 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
 # docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
 # stream_stateful_first_seen, stream_watermark_late, join_asof,
-# udtf_lateral_tokens, source_csv_roundtrip, source_json_roundtrip)
-# and a 50-row window, twenty-three keys must fall outside it: this
-# whole list plus the two unpinned rows-only keys (doc_fingerprint,
-# multimodal_decode — r02 full rows, untouched in r3).  The keys here
+# udtf_lateral_tokens, source_csv_roundtrip, source_json_roundtrip,
+# emb_centroid_per_label, docs_ngram_topk) and a 50-row window,
+# twenty-five keys must fall outside it: this whole list plus the two
+# unpinned rows-only keys (doc_fingerprint, multimodal_decode — r02
+# full rows, untouched in r3).  The keys here
 # all carry r02 full-pass rows (all but text_langid carry r01 rows
 # too), are untouched in round 3 (git diff touches none of them), and
 # are the structurally simplest queries — they lose the least.  Every
@@ -145,6 +148,8 @@ _LAST_FULL_KEYS = (
     "agg_count_distinct",
     "join_left_semi",
     "filter_range_ts",
+    "agg_cube",
+    "join_nested_loop_theta",
     "agg_rollup",
     "array_fns",
     "win_lag_lead",

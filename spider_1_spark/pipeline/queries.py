@@ -1018,6 +1018,63 @@ def docs_quantiles(spark, sf):
     )
 
 
+def emb_centroid_per_label(spark, sf):
+    """Per-label embedding centroids — the codebook-update shape every
+    k-means / IVF training loop runs at corpus scale (and the class-
+    prototype computation for nearest-centroid labeling).
+
+    Scale design: posexplode to (label, pos, v) then ONE hash
+    aggregate on (label, pos) — Spark's partial aggregation map-side
+    combines each task down to O(labels x dim) rows, so the shuffle is
+    O(labels x dim x partitions) regardless of corpus size (10^9
+    vectors shuffle the same few thousand rows per task as 10^4 do).
+    Never collect-and-average driver-side, and never groupBy(label)
+    with collect_list (that shuffles every vector whole).  Output is
+    rounded to 6 dp: both engines average the identical float32 values
+    in IEEE doubles, ordered differently — double summation error is
+    O(n * eps) ~ 1e-13, far inside the rounding."""
+    e = _emb(spark, sf)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+
+
+def docs_ngram_topk(spark, sf):
+    """Top-3 character trigrams per language (count desc, gram asc) —
+    the n-gram frequency profile used for language-model corpus audits
+    and contamination checks.
+
+    Scale design: the trigram fan-out is pure JVM (sequence +
+    transform + explode inside whole-stage codegen — ~n_chars rows per
+    doc, no Python), then ONE hash aggregate on (lang, gram) with
+    map-side combine (shuffle is O(distinct-grams x partitions), not
+    corpus size), and the final top-k window runs over the tiny
+    aggregated frame (grams per language, not rows per language).
+    Deterministic tie-break: (count desc, gram asc) — both engines
+    compare UTF-8 bytes."""
+    d = _docs(spark, sf).filter(F.length("text") >= 3)
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(text, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("lang", "gram").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "gram", "n", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def doc_fingerprint(spark, sf):
     """Winnowing fingerprints (rolling k-gram hash, min-in-window):
     exploded (doc_id, fp) rows — overlap of fp sets across docs is the
@@ -1338,6 +1395,8 @@ PIPE_FNS = {
     "text_pii_scrub": text_pii_scrub,
     "docs_length_histogram": docs_length_histogram,
     "docs_quantiles": docs_quantiles,
+    "emb_centroid_per_label": emb_centroid_per_label,
+    "docs_ngram_topk": docs_ngram_topk,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
     "dedup_phash_hamming": dedup_phash_hamming,
@@ -1434,6 +1493,24 @@ PIPE_SQL: dict[str, str | None] = {
             for p in _Q_PS
         )
         + " FROM documents GROUP BY lang"
+    ),
+    "emb_centroid_per_label": (
+        "SELECT label, pos, round(avg(v), 6) AS c, "
+        "count(*)::BIGINT AS n_vecs FROM ("
+        "SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
+        "AS pos, unnest(embedding) AS v FROM embeddings) "
+        "GROUP BY label, pos"
+    ),
+    "docs_ngram_topk": (
+        "WITH g AS (SELECT lang, unnest(list_transform("
+        "range(1, len(text) - 1), "
+        "i -> substring(text, CAST(i AS INT), 3))) AS gram "
+        "FROM documents WHERE len(text) >= 3), "
+        "c AS (SELECT lang, gram, count(*)::BIGINT AS n FROM g "
+        "GROUP BY 1, 2) "
+        "SELECT lang, gram, n, rk FROM (SELECT lang, gram, n, "
+        "row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram)"
+        "::BIGINT AS rk FROM c) WHERE rk <= 3"
     ),
     # rows-only (pytest oracles in tests/test_pipeline.py):
     "dedup_minhash_lsh": None,

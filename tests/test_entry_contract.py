@@ -37,6 +37,9 @@ SUBSET = [
     "stream_stateful_first_seen",  # r3: real streaming stateful op
     "stream_watermark_late",  # r3: watermark + late-data append mode
     "udtf_lateral_tokens",  # r3: Python UDTF lateral fan-out
+    "source_csv_roundtrip",  # r3: CSV write -> schema read round-trip
+    "emb_centroid_per_label",  # r3: codebook-update aggregation shape
+    "docs_ngram_topk",  # r3: JVM-side trigram fan-out + top-k
 ]
 
 
