@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of 59 registered keys, so the registry is ordered by
+# the first 50 of the 75 registered keys, so the registry is ordered by
 # evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
