@@ -123,6 +123,7 @@ _FIRST_KEYS = (
     "source_json_roundtrip",
     "emb_centroid_per_label",
     "docs_ngram_topk",
+    "docs_quantiles",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",

@@ -225,10 +225,14 @@ def main() -> int:
         runs = [crawl_bench(spark, n_rows, n_hosts)
                 for _ in range(max(1, crawl_reps))]
         for r in runs[1:]:
-            assert r["counters"] == runs[0]["counters"], (
-                "nondeterministic crawl counters across bench reps: "
-                f"{r['counters']} vs {runs[0]['counters']}"
-            )
+            # explicit raise, not assert: python -O (long benchmark
+            # batches) compiles asserts out, silently disabling the
+            # determinism guard
+            if r["counters"] != runs[0]["counters"]:
+                raise RuntimeError(
+                    "nondeterministic crawl counters across bench "
+                    f"reps: {r['counters']} vs {runs[0]['counters']}"
+                )
         import statistics
 
         med = statistics.median(r["elapsed_s"] for r in runs)

@@ -45,6 +45,25 @@ def _emb(spark, sf):
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+def _materialized(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Eagerly materialize ``result``, then release the ``cached``
+    intermediates.
+
+    The persist() sites in this module cache wide intermediates (LSH
+    signatures, exploded hash blocks, band buckets) that several
+    branches of one query's DAG re-read.  Left cached they outlive
+    the query for the whole session — Spark's cacheManager holds the
+    logical plan, so a long-lived driver running the full registry
+    accumulates one orphaned cache per dedup call.  localCheckpoint
+    pins only the (much smaller) candidate-pair RESULT, and the
+    ContextCleaner releases those blocks once the caller drops the
+    returned frame."""
+    out = result.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 # ------------------------------------------------------------ dedup: exact
 
 def dedup_exact(spark, sf):
@@ -195,12 +214,13 @@ def dedup_minhash_lsh(spark, sf):
         )
         / SIG_N
     )
-    return (
+    return _materialized(
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .select("doc_a", "doc_b", "est_jaccard"),
+        sig,
     )
 
 
@@ -227,10 +247,11 @@ def dedup_ngram_jaccard(spark, sf):
             ]
         )
 
-    return (
+    return _materialized(
         joined.withColumn("jaccard", F.round(jac_udf("sh_a", "sh_b"), 4))
         .filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        sig,
     )
 
 
@@ -312,7 +333,7 @@ def _hamming64_pairs(
         F.col("_id").alias(out_b), F.col("_h").alias("_hb"),
         "block_idx", "block_val",
     )
-    return (
+    return _materialized(
         lhs.join(rhs, ["block_idx", "block_val"])
         .filter(F.col(out_a) < F.col(out_b))
         .select(out_a, out_b, "_ha", "_hb")
@@ -322,7 +343,8 @@ def _hamming64_pairs(
             F.bit_count(F.expr("_ha ^ _hb")).cast("int"),
         )
         .filter(F.col("hamming") <= max_dist)
-        .select(out_a, out_b, "hamming")
+        .select(out_a, out_b, "hamming"),
+        blocks,
     )
 
 
@@ -482,12 +504,13 @@ def dedup_embedding_cosine(
                   F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("id_b"),
                   F.col("embedding").alias("emb_b"))
-    return (
+    return _materialized(
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("sim", F.round(_cosine("emb_a", "emb_b"), 4))
         .filter(F.col("sim") >= 0.4)
-        .select("id_a", "id_b", "sim")
+        .select("id_a", "id_b", "sim"),
+        b,
     )
 
 
@@ -571,6 +594,18 @@ def dedup_cc_embedding(spark, sf, max_rounds: int = 25):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Returning here would hand back intermediate (non-minimal)
+        # labels with silently split components — fail loudly instead;
+        # a corpus with diameter > max_rounds needs the large-star/
+        # small-star alternation the docstring points at.
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_cc_embedding did not converge in {max_rounds} "
+            f"rounds ({changed} labels still changing); the near-dup "
+            "graph has a deeper component than min-label propagation "
+            "should be used for"
+        )
     edges.unpersist()
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "comp").select(

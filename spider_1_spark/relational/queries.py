@@ -629,8 +629,9 @@ def _stream_src_dir(sf: str, table: str = "events") -> str:
     """Stage a single-file fixture table into a per-source temp DIR —
     FileStreamSource requires a directory, the fixtures are single
     files.  Race-safe first-writer-wins rename (same discipline as the
-    multimodal fixture writer); keyed by absolute source path so
-    concurrent/repeated callers share one staging."""
+    multimodal fixture writer); keyed by absolute source path PLUS
+    mtime/size so concurrent/repeated callers share one staging and a
+    regenerated fixture at the same path never serves a stale copy."""
     import hashlib
     import os
     import shutil
@@ -638,7 +639,10 @@ def _stream_src_dir(sf: str, table: str = "events") -> str:
     import uuid
 
     src_file = os.path.abspath(f"{sf}/{table}.parquet")
-    key = hashlib.md5(src_file.encode()).hexdigest()[:12]
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"spider1_stream_{key}")
     if not os.path.isdir(path):
         staging = path + "." + uuid.uuid4().hex[:8]
@@ -649,6 +653,26 @@ def _stream_src_dir(sf: str, table: str = "events") -> str:
         except OSError:  # concurrent writer won the rename
             shutil.rmtree(staging, ignore_errors=True)
     return path
+
+
+def _scratch_dir(key: str, sf: str) -> str:
+    """Stable per-(key, source-dir, process) scratch path — reused
+    across invocations instead of mkdtemp-per-call, so the reps
+    harness and repeated driver rounds don't accumulate unbounded
+    /tmp garbage (each sink/roundtrip key writes a table slice).
+    Callers overwrite (or pre-clean) the returned path, which is safe
+    under reuse; the pid suffix keeps concurrent processes from
+    racing each other's writes."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(), f"spider1_{key}_{h}_{os.getpid()}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "t")
 
 
 def stream_watermark_late(spark, sf):
@@ -705,9 +729,14 @@ def stream_watermark_late(spark, sf):
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    # Materialize, then drop the memory-sink table: otherwise every
+    # invocation pins a full result copy in the driver for the session
+    # lifetime (the reps harness calls each key 1+N times).
+    out = spark.table(name).select(
         F.unix_millis(F.col("win.start")).alias("window_ms"), "n", "sum_v"
-    )
+    ).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def stream_stateful_first_seen(spark, sf):
@@ -785,11 +814,13 @@ def stream_stateful_first_seen(spark, sf):
     )
     # first_us stays integer epoch-micros end-to-end (state, output,
     # oracle epoch_us()) — no timestamp/session-tz round-trip anywhere
-    return (
+    out = (
         t.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("user_id", "event_type", "first_us", "n_events")
-    )
+    ).localCheckpoint(eager=True)  # then drop the memory sink (see
+    spark.catalog.dropTempView(name)  # stream_watermark_late)
+    return out
 
 
 # ------------------------------------------------------ sources / sinks
@@ -814,10 +845,10 @@ def sink_append_parquet(spark, sf):
     """A16 sink path: two parquet appends then read-back — the same
     write discipline the images sink uses (append-only, no overwrite
     of committed data)."""
-    import os
-    import tempfile
+    import shutil
 
-    out = os.path.join(tempfile.mkdtemp(prefix="spider1_sink_"), "t")
+    out = _scratch_dir("sink", sf)
+    shutil.rmtree(out, ignore_errors=True)  # exactly-two-appends count
     df = _t(spark, sf, "region")
     df.write.mode("append").parquet(out)
     df.write.mode("append").parquet(out)
@@ -830,10 +861,7 @@ def sink_partitioned(spark, sf):
     """A16 bucketed/partitioned sink: hive-style partitionBy on write,
     then a partition-pruned read-back (only the o_orderstatus=F
     directory is scanned — PartitionFilters in explain())."""
-    import os
-    import tempfile
-
-    out = os.path.join(tempfile.mkdtemp(prefix="spider1_sinkp_"), "t")
+    out = _scratch_dir("sinkp", sf)
     o = _t(spark, sf, "orders")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
@@ -852,10 +880,7 @@ def source_csv_roundtrip(spark, sf):
     the text round-trip must be value-exact for ints/strings (nation
     has no quoting/escaping edge — those belong to the codec, not this
     key).  Oracle: the same rows straight off the parquet view."""
-    import os
-    import tempfile
-
-    out = os.path.join(tempfile.mkdtemp(prefix="spider1_csv_"), "t")
+    out = _scratch_dir("csv", sf)
     _t(spark, sf, "nation").write.mode("overwrite").option(
         "header", True
     ).csv(out)
@@ -870,10 +895,7 @@ def source_json_roundtrip(spark, sf):
     fetched-page metadata on a real crawl; doubles round-trip exactly
     (Spark prints the shortest repr that parses back to the same
     IEEE value).  Oracle: the same slice off the parquet view."""
-    import os
-    import tempfile
-
-    out = os.path.join(tempfile.mkdtemp(prefix="spider1_json_"), "t")
+    out = _scratch_dir("json", sf)
     o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 3000).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
