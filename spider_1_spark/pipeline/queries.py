@@ -324,12 +324,14 @@ def _hamming64_pairs(
         .filter(F.col("_bn") <= block_cap)
         .select("block_idx", "block_val")
     )
-    blocks = blocks.join(ok, ["block_idx", "block_val"], "left_semi")
-    lhs = blocks.select(
+    # keep `blocks` bound to the PERSISTED frame (unpersisting a
+    # derived frame would not drop the ancestor's cacheManager entry)
+    kept = blocks.join(ok, ["block_idx", "block_val"], "left_semi")
+    lhs = kept.select(
         F.col("_id").alias(out_a), F.col("_h").alias("_ha"),
         "block_idx", "block_val",
     )
-    rhs = blocks.select(
+    rhs = kept.select(
         F.col("_id").alias(out_b), F.col("_h").alias("_hb"),
         "block_idx", "block_val",
     )
@@ -489,11 +491,13 @@ def dedup_embedding_cosine(
         .filter(F.col("_bn") <= bucket_cap)
         .select("band_idx", "bucket")
     )
-    b = b.join(ok, ["band_idx", "bucket"], "left_semi")
+    # keep `b` bound to the PERSISTED frame (unpersisting a derived
+    # frame would not drop the ancestor's cacheManager entry)
+    kept = b.join(ok, ["band_idx", "bucket"], "left_semi")
     pairs = (
-        b.select(F.col("vec_id").alias("id_a"), "band_idx", "bucket")
+        kept.select(F.col("vec_id").alias("id_a"), "band_idx", "bucket")
         .join(
-            b.select(F.col("vec_id").alias("id_b"), "band_idx", "bucket"),
+            kept.select(F.col("vec_id").alias("id_b"), "band_idx", "bucket"),
             ["band_idx", "bucket"],
         )
         .filter(F.col("id_a") < F.col("id_b"))

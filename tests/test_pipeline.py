@@ -709,3 +709,34 @@ def test_docs_quantiles_match_numpy_linear(spark, curation_dir):
             got = getattr(r, f"p{int(p * 100)}")
             want = round(float(np.quantile(vals, p, method="linear")), 4)
             assert got == pytest.approx(want, abs=1e-9), (lang, p)
+
+
+def test_dedup_queries_release_their_caches(spark, sf_dir):
+    """The dedup ops persist wide intermediates (minhash signatures,
+    exploded hash blocks, embedding band buckets) that several DAG
+    branches re-read; they must materialize the result and unpersist
+    those, or a session running the full 75-key registry accumulates
+    one orphaned cache per dedup call.  Contract: after a call only
+    the localCheckpoint'ed RESULT may hold blocks (the cacheManager
+    gains no entry), and releasing the result frame returns executor
+    storage to its pre-call level."""
+    from spider_1_spark.engine.crawler import _release_cached
+    from spider_1_spark.pipeline.queries import (
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        dedup_simhash,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm_empty_before = cm.isEmpty()
+    for fn in (dedup_minhash_lsh, dedup_ngram_jaccard, dedup_simhash,
+               dedup_embedding_cosine):
+        before = len(sc.getRDDStorageInfo())
+        df = fn(spark, sf_dir)
+        df.collect()
+        if cm_empty_before:
+            assert cm.isEmpty(), f"{fn.__name__} left a cacheManager entry"
+        _release_cached(df)
+        assert len(sc.getRDDStorageInfo()) <= before, fn.__name__
