@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 75 registered keys, so the registry is ordered by
+# the first 50 of the 76 registered keys, so the registry is ordered by
 # evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
@@ -124,27 +124,31 @@ _FIRST_KEYS = (
     "emb_centroid_per_label",
     "docs_ngram_topk",
     "docs_quantiles",
+    "decontaminate_ngram",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 75 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
+# With 76 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
 # sample_stratified, text_pii_scrub, docs_length_histogram,
 # docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
 # stream_stateful_first_seen, stream_watermark_late, join_asof,
 # udtf_lateral_tokens, source_csv_roundtrip, source_json_roundtrip,
-# emb_centroid_per_label, docs_ngram_topk) and a 50-row window,
-# twenty-five keys must fall outside it: this whole list plus the two
+# emb_centroid_per_label, docs_ngram_topk, decontaminate_ngram) and a
+# 50-row window, twenty-six keys must fall outside it (text_quality —
+# r02 full pass, untouched in r3 — is the newest casualty): this list
+# plus the two
 # unpinned rows-only keys (doc_fingerprint, multimodal_decode — r02
 # full rows, untouched in r3).  The keys here
-# all carry r02 full-pass rows (all but text_langid carry r01 rows
-# too), are untouched in round 3 (git diff touches none of them), and
+# all carry r02 full-pass rows (all but text_quality and text_langid
+# carry r01 rows too), are untouched in round 3 by engine code, and
 # are the structurally simplest queries — they lose the least.  Every
 # key then has a driver row in r02 ∪ r03 and every round-3-changed
 # key has an r03 row.
 _LAST_FULL_KEYS = (
+    "text_quality",
     "text_langid",
     "agg_count_distinct",
     "join_left_semi",

@@ -1114,6 +1114,80 @@ def docs_ngram_topk(spark, sf):
     )
 
 
+DECON_N = 5            # words per shingle
+DECON_MIN_SHARED = 3   # shared distinct shingles with ONE bench doc
+DECON_MAX_BENCH_DF = 10  # grams in more bench docs are no evidence
+
+
+def decontaminate_ngram(spark, sf):
+    """Benchmark decontamination: which corpus docs leak eval data?
+
+    The standard pre-training hygiene step — remove training docs that
+    overlap held-out benchmarks: a corpus doc is CONTAMINATED if it
+    shares >= DECON_MIN_SHARED distinct word 5-grams with any single
+    benchmark doc.  Benchmark set here = the ``doc_id % 17 == 0``
+    slice of the documents table (a deterministic held-out stand-in;
+    production points this side at the external eval-suite table).
+    Output per contaminated doc: the max shingle overlap with one
+    bench doc plus how many bench docs it trips — integer-exact.
+
+    Scale design: the 5-gram fan-out is pure JVM (split + sequence +
+    transform + explode inside whole-stage codegen, no Python); grams
+    present in more than DECON_MAX_BENCH_DF benchmark docs are dropped
+    BEFORE the join (boilerplate n-grams are no evidence of leakage
+    and are exactly the hot join keys — the same cap-the-skew
+    discipline as the LSH bucket caps); the benchmark gram side is
+    broadcast (bounded by eval-suite size x grams/doc, independent of
+    corpus size), so the corpus side never shuffles for the probe —
+    one codegen explode + broadcast join + map-side-combined groupBy.
+    At 10^9+ bench grams, swap the broadcast for a shuffle join keyed
+    on xxhash64(gram)."""
+    d = _docs(spark, sf)
+
+    def grams(df, id_alias):
+        # array_distinct BEFORE the explode: the distinct-grams-per-doc
+        # contract needs dedup only within one doc, and one doc's grams
+        # all live in one array — dedup there is free, where a
+        # .distinct() after the explode would shuffle the full
+        # exploded corpus
+        words = F.split(F.col("text"), " ")
+        return df.filter(F.size(words) >= DECON_N).select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size(words) - (DECON_N - 1)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice(words, i, DECON_N), " "
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+
+    bench = grams(d.filter(F.col("doc_id") % 17 == 0), "bench_id")
+    rare = (
+        bench.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= DECON_MAX_BENCH_DF)
+        .select("gram")
+    )
+    bench = bench.join(rare, "gram", "left_semi")
+    corpus = grams(d.filter(F.col("doc_id") % 17 != 0), "doc_id")
+    shared = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+    return shared.groupBy("doc_id").agg(
+        F.max("n_shared").alias("max_shared"),
+        F.count("*").cast("long").alias("n_bench_docs"),
+    )
+
+
 def doc_fingerprint(spark, sf):
     """Winnowing fingerprints (rolling k-gram hash, min-in-window):
     exploded (doc_id, fp) rows — overlap of fp sets across docs is the
@@ -1436,6 +1510,7 @@ PIPE_FNS = {
     "docs_quantiles": docs_quantiles,
     "emb_centroid_per_label": emb_centroid_per_label,
     "docs_ngram_topk": docs_ngram_topk,
+    "decontaminate_ngram": decontaminate_ngram,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
     "dedup_phash_hamming": dedup_phash_hamming,
@@ -1550,6 +1625,27 @@ PIPE_SQL: dict[str, str | None] = {
         "SELECT lang, gram, n, rk FROM (SELECT lang, gram, n, "
         "row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram)"
         "::BIGINT AS rk FROM c) WHERE rk <= 3"
+    ),
+    "decontaminate_ngram": (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "gd AS (SELECT DISTINCT doc_id, gram FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) - 3), "
+        "i -> array_to_string(w[i:i + 4], ' '))) AS gram "
+        "FROM tok WHERE len(w) >= 5)), "
+        "bench AS (SELECT doc_id AS bench_id, gram FROM gd "
+        "WHERE doc_id % 17 = 0), "
+        "rare AS (SELECT gram FROM bench GROUP BY gram "
+        "HAVING count(*) <= 10), "
+        "b2 AS (SELECT bench_id, bench.gram FROM bench "
+        "JOIN rare ON bench.gram = rare.gram), "
+        "corpus AS (SELECT doc_id, gram FROM gd WHERE doc_id % 17 <> 0), "
+        "shared AS (SELECT corpus.doc_id, b2.bench_id, "
+        "count(*)::BIGINT AS n_shared FROM corpus "
+        "JOIN b2 ON corpus.gram = b2.gram "
+        "GROUP BY 1, 2 HAVING count(*) >= 3) "
+        "SELECT doc_id, max(n_shared) AS max_shared, "
+        "count(*)::BIGINT AS n_bench_docs FROM shared GROUP BY doc_id"
     ),
     # rows-only (pytest oracles in tests/test_pipeline.py):
     "dedup_minhash_lsh": None,

@@ -740,3 +740,53 @@ def test_dedup_queries_release_their_caches(spark, sf_dir):
             assert cm.isEmpty(), f"{fn.__name__} left a cacheManager entry"
         _release_cached(df)
         assert len(sc.getRDDStorageInfo()) <= before, fn.__name__
+
+
+def test_decontaminate_ngram_matches_python_oracle(spark, sf_dir):
+    """decontaminate_ngram vs a direct Python transcription of its
+    contract (distinct word 5-grams, bench = doc_id % 17 == 0, grams
+    in > DECON_MAX_BENCH_DF bench docs dropped, contaminated when one
+    bench doc shares >= DECON_MIN_SHARED grams).  The module fixture
+    plants an exact dup (doc 20 == doc 0, and 0 is a bench id), so
+    the result is non-vacuous by construction."""
+    from collections import Counter
+
+    from spider_1_spark.pipeline.queries import (
+        DECON_MAX_BENCH_DF,
+        DECON_MIN_SHARED,
+        DECON_N,
+        decontaminate_ngram,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+
+    def grams(text):
+        w = text.split(" ")
+        return {
+            " ".join(w[i:i + DECON_N])
+            for i in range(len(w) - DECON_N + 1)
+        } if len(w) >= DECON_N else set()
+
+    bench = {i: grams(t) for i, t in docs.items() if i % 17 == 0}
+    df = Counter(g for gs in bench.values() for g in gs)
+    bench = {
+        i: {g for g in gs if df[g] <= DECON_MAX_BENCH_DF}
+        for i, gs in bench.items()
+    }
+    want = {}
+    for i, t in docs.items():
+        if i % 17 == 0:
+            continue
+        shared = [len(grams(t) & gs) for gs in bench.values()]
+        hits = [s for s in shared if s >= DECON_MIN_SHARED]
+        if hits:
+            want[i] = (max(hits), len(hits))
+    got = {
+        r.doc_id: (r.max_shared, r.n_bench_docs)
+        for r in decontaminate_ngram(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert 20 in got  # the planted exact dup of bench doc 0
