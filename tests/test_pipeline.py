@@ -790,3 +790,34 @@ def test_decontaminate_ngram_matches_python_oracle(spark, sf_dir):
     }
     assert got == want
     assert 20 in got  # the planted exact dup of bench doc 0
+
+
+def test_decontaminate_ngram_df_cap_drops_boilerplate(spark):
+    """Grams present in more than DECON_MAX_BENCH_DF benchmark docs
+    must carry no contamination evidence (they are boilerplate AND the
+    hot join keys).  Fixture: 12 bench docs (> cap) share one
+    boilerplate sentence that a corpus doc repeats verbatim — not
+    flagged; a second corpus doc overlaps ONE bench doc on 3 distinct
+    rare grams — flagged."""
+    import tempfile
+
+    from spider_1_spark.pipeline.queries import decontaminate_ngram
+
+    boiler = "this content is provided as is without any warranty"
+    rare = "zebra quark mango delta onyx pivot lunar"  # 3 x 5-grams
+    rows = []
+    for k in range(12):  # bench ids: multiples of 17, all > cap share
+        rows.append((17 * k, f"{boiler} bench variant {k}"))
+    rows[3] = (17 * 3, f"{boiler} {rare}")  # one bench doc adds rare
+    rows.append((1, f"{boiler} corpus echo one"))   # boiler only
+    rows.append((2, f"prefix words {rare}"))        # rare overlap
+    tmp = tempfile.mkdtemp(prefix="spider1_decon_")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+    got = {
+        r.doc_id: (r.max_shared, r.n_bench_docs)
+        for r in decontaminate_ngram(spark, tmp).collect()
+    }
+    assert 1 not in got, "boilerplate-only overlap must be capped away"
+    assert got == {2: (3, 1)}
