@@ -106,6 +106,7 @@ _FIRST_KEYS = (
     "ann_cosine_topk",
     "text_tokens",
     # modified or new in round 3:
+    "join_range_interval",  # time-banded rewrite (r3) — needs its r03 row
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_lsh_multiprobe",
@@ -125,29 +126,59 @@ _FIRST_KEYS = (
     "docs_ngram_topk",
     "docs_quantiles",
     "decontaminate_ngram",
+    # new in the round-3 continuation session:
+    "pivot_wide",
+    "unpivot_long",
+    "agg_grouping_sets",
+    "win_ntile_cume",
+    "agg_string_collect",
+    "str_similarity",
+    "subquery_decorrelated",
+    "explode_outer_null",
+    "sink_merge_upsert",
+    "join_bucketed_colocated",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 76 keys (r3 adds ann_lsh_multiprobe, ann_ivf_bucketed,
-# sample_stratified, text_pii_scrub, docs_length_histogram,
-# docs_quantiles, dedup_cc_embedding, dedup_phash_hamming,
-# stream_stateful_first_seen, stream_watermark_late, join_asof,
-# udtf_lateral_tokens, source_csv_roundtrip, source_json_roundtrip,
-# emb_centroid_per_label, docs_ngram_topk, decontaminate_ngram) and a
-# 50-row window, twenty-six keys must fall outside it (text_quality —
-# r02 full pass, untouched in r3 — is the newest casualty): this list
-# plus the two
-# unpinned rows-only keys (doc_fingerprint, multimodal_decode — r02
-# full rows, untouched in r3).  The keys here
-# all carry r02 full-pass rows (all but text_quality and text_langid
-# carry r01 rows too), are untouched in round 3 by engine code, and
-# are the structurally simplest queries — they lose the least.  Every
-# key then has a driver row in r02 ∪ r03 and every round-3-changed
-# key has an r03 row.
+# With 89 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
+# ann_ivf_bucketed, sample_stratified, text_pii_scrub,
+# docs_length_histogram, docs_quantiles, dedup_cc_embedding,
+# dedup_phash_hamming, stream_stateful_first_seen,
+# stream_watermark_late, join_asof, udtf_lateral_tokens,
+# source_csv_roundtrip, source_json_roundtrip, emb_centroid_per_label,
+# docs_ngram_topk, decontaminate_ngram — and 13 more in the
+# continuation: pivot_wide, unpivot_long, agg_grouping_sets,
+# win_ntile_cume, agg_string_collect, str_similarity,
+# subquery_decorrelated, explode_outer_null, sink_merge_upsert,
+# join_bucketed_colocated, multimodal_{resize,frame_sample,
+# audio_features}) and a 50-row window, 39 keys fall outside it:
+# the 43 _FIRST_KEYS + the first 7 unpinned full-SQL keys fill the
+# window.  Every key left outside carries an r02 full or rows-only
+# row and is untouched by round-3 engine code, so every key has a
+# driver row in r02 ∪ r03 and every round-3-changed or round-3-new
+# key has an r03 row.  The keys listed below sort LAST (after the
+# unpinned ones): they are the structurally simplest queries — they
+# lose the least by rotating out.
 _LAST_FULL_KEYS = (
+    "source_inline",
+    "sink_append_parquet",
+    "sink_partitioned",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_left_anti",
+    "join_left_outer",
+    "agg_first_by_key",
+    "win_row_number",
+    "win_frame_agg",
+    "map_json_fns",
+    "stream_tumbling_1h",
+    "stream_sliding",
     "text_quality",
     "text_langid",
     "agg_count_distinct",

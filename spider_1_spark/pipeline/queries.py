@@ -1404,6 +1404,256 @@ def dedup_phash_hamming(spark, sf):
     )
 
 
+# ------------------------------------------- multimodal: resize / video / audio
+
+MM_RESIZE_HW = 16  # output side length; compile-time = stable checksums
+
+
+def multimodal_resize(spark, sf):
+    """Image resize as a REAL kernel (no stub): decode the binary
+    column, nearest-neighbor AND bilinear resample to 16x16 with pure
+    numpy (functions/imageops.py), emit per-image checksums.  This is
+    the thumbnail/normalize stage of a vision-training pipeline: the
+    Arrow batch shape, binary scan, and per-image fan-in are exactly
+    what a libjpeg-backed deployment runs; only the codec layer is
+    synthetic (SURVEY §0.5 — no Pillow in the sandbox).  Identity and
+    interpolation properties are pinned in tests/test_functions.py."""
+    import hashlib
+
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.imageops import (
+        resize_bilinear,
+        resize_nearest,
+    )
+
+    src = spark.read.parquet(_mm_fixture_path(spark))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for image_id, data, declared in zip(
+                pdf["image_id"], pdf["bytes"], pdf["declared_fmt"]
+            ):
+                if declared == "jpeg":
+                    out.append((image_id, "unsupported_codec",
+                                None, None, None, None))
+                    continue
+                try:
+                    rgb, _ = decode(bytes(data))
+                except DecodeError:
+                    out.append((image_id, "decode_failed",
+                                None, None, None, None))
+                    continue
+                nn = resize_nearest(rgb, MM_RESIZE_HW, MM_RESIZE_HW)
+                bil = resize_bilinear(rgb, MM_RESIZE_HW, MM_RESIZE_HW)
+                nn_sum = int.from_bytes(
+                    hashlib.blake2b(nn.tobytes(), digest_size=8).digest(),
+                    "big", signed=True,
+                )
+                out.append((
+                    image_id, "ok", rgb.shape[1], rgb.shape[0],
+                    nn_sum, round(float(bil.mean()), 4),
+                ))
+            cols = list(zip(*out))
+            yield pd.DataFrame({
+                "image_id": cols[0],
+                "status": cols[1],
+                "src_w": pd.array(cols[2], dtype="Int32"),
+                "src_h": pd.array(cols[3], dtype="Int32"),
+                "nn_checksum": pd.array(cols[4], dtype="Int64"),
+                "bil_mean": pd.array(cols[5], dtype="Float64"),
+            })
+
+    return src.repartition(4, "image_id").mapInPandas(
+        gen,
+        "image_id string, status string, src_w int, src_h int, "
+        "nn_checksum long, bil_mean double",
+    )
+
+
+VID_STRIDE = 3
+
+
+def _video_fixture_path(spark) -> str:
+    """Deterministic multi-frame video fixture (VID1 container, ppm/png
+    frames), written once with the race-safe rename pattern."""
+    import os
+    import tempfile
+    import uuid
+
+    from spider_1_spark.functions.codecs import encode
+    from spider_1_spark.functions.imageops import encode_video
+
+    final = os.path.join(tempfile.gettempdir(), "spider1_video_fixture_v1")
+    if os.path.isdir(final):
+        return final
+    rows = []
+    for v in range(8):
+        frames = []
+        for f in range(4 + 2 * (v % 5)):
+            hh, ww = 16 + 4 * (v % 3), 20
+            i = np.arange(hh, dtype=np.int64)[:, None, None]
+            j = np.arange(ww, dtype=np.int64)[None, :, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            rgb = ((3 * f + 7 * v + 5 * i + 11 * j + 29 * c) % 256
+                   ).astype(np.uint8)
+            frames.append(encode(rgb, "ppm" if f % 2 else "png"))
+        rows.append((f"vid{v:02d}", encode_video(frames)))
+    rows.append(("vid-corrupt", b"VID1\x02\x00\xff\xff\xff\xff"))
+    staging = final + "." + uuid.uuid4().hex[:8]
+    spark.createDataFrame(
+        rows, "video_id string, bytes binary"
+    ).coalesce(4).write.mode("overwrite").parquet(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def multimodal_frame_sample(spark, sf):
+    """Video frame-sampling: parse the multi-frame container, keep
+    every VID_STRIDE-th frame (stride sampling — the standard
+    preprocessing shape for video-language training), decode kept
+    frames, one output row per sampled frame.
+
+    mapInPandas is the right form because the fan-out ratio is
+    data-dependent (a clip's bytes arrive as ONE binary cell; the
+    output batch is LONGER than the input batch) — a pandas_udf
+    Series→Series could not change the row count.  Corrupt containers
+    degrade to a single container_error row instead of poisoning the
+    batch."""
+    from spider_1_spark.functions.codecs import DecodeError, decode
+    from spider_1_spark.functions.imageops import (
+        ContainerError,
+        decode_video,
+    )
+    from spider_1_spark.functions.phash import dhash64
+
+    src = spark.read.parquet(_video_fixture_path(spark))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for video_id, data in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    frames = decode_video(bytes(data))
+                except ContainerError:
+                    out.append((video_id, "container_error",
+                                None, None, None, None, None))
+                    continue
+                for idx in range(0, len(frames), VID_STRIDE):
+                    try:
+                        rgb, fmt = decode(frames[idx])
+                    except DecodeError:
+                        out.append((video_id, "decode_failed", idx,
+                                    len(frames), None, None, None))
+                        continue
+                    out.append((video_id, "ok", idx, len(frames),
+                                rgb.shape[1], rgb.shape[0], dhash64(rgb)))
+            cols = list(zip(*out)) if out else [[]] * 7
+            yield pd.DataFrame({
+                "video_id": cols[0],
+                "status": cols[1],
+                "frame_idx": pd.array(cols[2], dtype="Int32"),
+                "n_frames": pd.array(cols[3], dtype="Int32"),
+                "w": pd.array(cols[4], dtype="Int32"),
+                "h": pd.array(cols[5], dtype="Int32"),
+                "frame_phash": pd.array(cols[6], dtype="Int64"),
+            })
+
+    return src.repartition(4, "video_id").mapInPandas(
+        gen,
+        "video_id string, status string, frame_idx int, n_frames int, "
+        "w int, h int, frame_phash long",
+    )
+
+
+def _audio_fixture_path(spark) -> str:
+    """Deterministic PCM1 audio fixture: integer sawtooth-family
+    waveforms (no libm — bit-identical everywhere), varying rate and
+    length per clip."""
+    import os
+    import tempfile
+    import uuid
+
+    from spider_1_spark.functions.imageops import encode_pcm
+
+    final = os.path.join(tempfile.gettempdir(), "spider1_audio_fixture_v1")
+    if os.path.isdir(final):
+        return final
+    rows = []
+    for v in range(10):
+        rate = (8000, 16000, 22050)[v % 3]
+        n = 1000 + 317 * v
+        i = np.arange(n, dtype=np.int64)
+        wave = ((i * (37 + v) + 13 * v) % 2048) - 1024  # sawtooth
+        sign = np.where((i // (50 + v)) % 2 == 0, 1, -1)
+        rows.append((f"clip{v:02d}", encode_pcm(rate, (wave * sign) // 2)))
+    rows.append(("clip-corrupt", b"PCM1\x00\x1f"))
+    staging = final + "." + uuid.uuid4().hex[:8]
+    spark.createDataFrame(
+        rows, "clip_id string, bytes binary"
+    ).coalesce(4).write.mode("overwrite").parquet(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    return final
+
+
+def multimodal_audio_features(spark, sf):
+    """Audio feature extraction over a binary PCM column: duration,
+    RMS level, zero-crossing count — the cheap quality gates an audio
+    corpus is filtered on before expensive ASR/embedding stages.
+    Pure-numpy over Arrow batches; the numpy reference oracle lives
+    in tests/test_functions.py."""
+    from spider_1_spark.functions.imageops import (
+        ContainerError,
+        decode_pcm,
+        pcm_features,
+    )
+
+    src = spark.read.parquet(_audio_fixture_path(spark))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    rate, samples = decode_pcm(bytes(data))
+                except ContainerError:
+                    out.append((clip_id, "container_error",
+                                None, None, None, None, None))
+                    continue
+                rms, zcr = pcm_features(samples)
+                out.append((
+                    clip_id, "ok", rate, int(samples.size),
+                    int(samples.size * 1000) // rate if rate else None,
+                    round(rms, 4), zcr,
+                ))
+            cols = list(zip(*out)) if out else [[]] * 7
+            yield pd.DataFrame({
+                "clip_id": cols[0],
+                "status": cols[1],
+                "rate": pd.array(cols[2], dtype="Int32"),
+                "n_samples": pd.array(cols[3], dtype="Int64"),
+                "duration_ms": pd.array(cols[4], dtype="Int64"),
+                "rms": pd.array(cols[5], dtype="Float64"),
+                "zcr": pd.array(cols[6], dtype="Int64"),
+            })
+
+    return src.repartition(4, "clip_id").mapInPandas(
+        gen,
+        "clip_id string, status string, rate int, n_samples long, "
+        "duration_ms long, rms double, zcr long",
+    )
+
+
 # ----------------------------------------------------- generated oracles
 
 def _emb_dedup_sql(
@@ -1513,6 +1763,9 @@ PIPE_FNS = {
     "decontaminate_ngram": decontaminate_ngram,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_audio_features": multimodal_audio_features,
     "dedup_phash_hamming": dedup_phash_hamming,
 }
 
@@ -1656,5 +1909,8 @@ PIPE_SQL: dict[str, str | None] = {
     "ann_ivf_bucketed": None,
     "doc_fingerprint": None,
     "multimodal_decode": None,
+    "multimodal_resize": None,       # image decode — no SQL equivalent
+    "multimodal_frame_sample": None,
+    "multimodal_audio_features": None,
     "dedup_phash_hamming": None,  # image decode — no SQL equivalent
 }

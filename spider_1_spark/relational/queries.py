@@ -905,6 +905,215 @@ def source_json_roundtrip(spark, sf):
     ).json(out)
 
 
+# ------------------------------------- reshaping / wide-surface (round 3)
+
+def pivot_wide(spark, sf):
+    """Wide pivot: per-priority order counts by status.  Pivot values
+    are ENUMERATED explicitly — letting Spark infer them costs a
+    separate distinct-scan job over the full table at 100 TB, and an
+    unbounded status domain would make the row width data-dependent."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+        .na.fill(0, ["F", "O", "P"])  # count semantics: absent cell = 0
+    )
+
+
+def unpivot_long(spark, sf):
+    """Wide→long unpivot (melt): one metric row per (part, measure).
+    Pure projection — no shuffle at any scale; both value columns are
+    cast to the common type up front (unpivot requires it)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "val")
+
+
+def agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS — the general form rollup/cube are sugar
+    for: per-region totals, per-nation totals, and a grand total in ONE
+    pass over the join (each input row is expanded to its matching
+    sets map-side; no re-scan per set)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.groupingSets(
+        [["r_name"], ["n_name"], []], "r_name", "n_name"
+    ).agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def win_ntile_cume(spark, sf):
+    """Distribution windows: ntile / percent_rank / cume_dist per
+    nation.  The ordering carries a unique tiebreak (c_custkey) so
+    every engine assigns identical buckets — ties under ntile are
+    otherwise implementation-defined."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+def agg_string_collect(spark, sf):
+    """Ordered collect: per-nation sorted key list as a single string.
+    collect_list is UNORDERED under parallel aggregation — the sort
+    must happen on the collected array (array_sort), never be assumed
+    from input order; transform() keeps the int→string mapping inside
+    whole-stage codegen.  Bounded by the filter: collecting unbounded
+    groups is a driver-OOM shape at scale."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 600)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("c_custkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("custkeys"),
+        F.count("*").alias("n"),
+    )
+
+
+def str_similarity(spark, sf):
+    """Edit-distance + substring-position functions (fuzzy matching
+    building blocks for URL/brand canonicalization audits)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#33")).cast("long").alias("lev"),
+        F.locate("BRASS", F.col("p_type")).cast("long").alias("brass_pos"),
+    )
+
+
+def subquery_decorrelated(spark, sf):
+    """Correlated-subquery shape ("orders above 1.5x their customer's
+    average"), hand-decorrelated the way it must run at scale: ONE
+    aggregate over the table + ONE equi-join, instead of a per-row
+    subquery execution.  The oracle states the same query in its
+    correlated form — equivalence is the point."""
+    o = _t(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(dec).alias("cust_sum"), F.count("*").alias("n_orders")
+    )
+    # "price > 1.5 * avg" stated as 2*price*n > 3*sum: decimal-exact on
+    # both engines (double avg is summation-order-dependent — Spark's
+    # partial aggregation and DuckDB's single pass round differently in
+    # the last ulp, which flips round() and boundary comparisons)
+    return (
+        o.join(per_cust, "o_custkey")
+        .filter(2 * dec * F.col("n_orders") > 3 * F.col("cust_sum"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("cust_sum").cast("double").alias("cust_sum"),
+            "n_orders",
+        )
+    )
+
+
+def explode_outer_null(spark, sf):
+    """posexplode_outer: fan-out that PRESERVES parents with empty
+    arrays as a NULL row — the join-back-safe explode (plain explode
+    silently drops them, breaking left-side row accounting)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    toks = F.when(
+        F.col("lang") == "zh", F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def sink_merge_upsert(spark, sf):
+    """MERGE INTO (upsert) on the parquet snapshot store: a source of
+    updated + brand-new customer rows merged into the target by key —
+    matched rows take the source balance, unmatched targets are kept,
+    unmatched sources are inserted.  Implemented as the scale shape a
+    format without MERGE support needs: one full-outer join on the
+    key (both sides shuffle-partitioned by it), coalesce per column,
+    rewrite.  The merged table is round-tripped through the sink so
+    the read-back rows are what the driver verifies."""
+    out = _scratch_dir("merge", sf)
+    tgt = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    upd = tgt.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 1000.0).alias("bal"),
+    )
+    ins = tgt.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit(0.0).alias("bal"),
+    )
+    src = upd.unionByName(ins)
+    merged = (
+        tgt.join(src, tgt.c_custkey == src.k, "full_outer")
+        .select(
+            F.coalesce("k", "c_custkey").alias("c_custkey"),
+            F.round(F.coalesce("bal", "c_acctbal"), 2).alias("c_acctbal"),
+            F.when(F.col("k").isNull(), "kept")
+            .when(F.col("c_custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("op"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+def join_bucketed_colocated(spark, sf):
+    """Shuffle-free co-located join via bucketing: both sides are
+    written bucketBy(8, key) + sortBy(key), so the join AND the
+    following same-key aggregate read pre-partitioned, pre-sorted
+    buckets — the physical plan has ZERO Exchange nodes (asserted in
+    tests/test_relational_plans.py).  This is the §2 bucketing
+    promise made concrete: at 100 TB you bucket the big fact table
+    once and every subsequent key join/agg skips its shuffle."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_c = f"spider1_bkt_o_{tag}", f"spider1_bkt_c_{tag}"
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                       "o_totalprice")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    try:
+        (o.write.format("parquet").bucketBy(8, "o_custkey")
+         .sortBy("o_custkey").option("path", _scratch_dir(f"bkto_{tag}", sf))
+         .mode("overwrite").saveAsTable(t_o))
+        (c.write.format("parquet").bucketBy(8, "c_custkey")
+         .sortBy("c_custkey").option("path", _scratch_dir(f"bktc_{tag}", sf))
+         .mode("overwrite").saveAsTable(t_c))
+        bo, bc = spark.table(t_o), spark.table(t_c)
+        joined = (
+            bo.join(bc, bo.o_custkey == bc.c_custkey)
+            .groupBy("c_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+        )
+        # materialize before dropping the catalog entries it reads from
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
@@ -924,6 +1133,80 @@ SQL: dict[str, str | None] = {
     ),
     "source_csv_roundtrip": (
         "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
+    "pivot_wide": (
+        'SELECT o_orderpriority, '
+        'count(*) FILTER (o_orderstatus = \'F\')::BIGINT AS "F", '
+        'count(*) FILTER (o_orderstatus = \'O\')::BIGINT AS "O", '
+        'count(*) FILTER (o_orderstatus = \'P\')::BIGINT AS "P" '
+        "FROM orders GROUP BY o_orderpriority"
+    ),
+    "unpivot_long": (
+        "SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS val "
+        "FROM part UNION ALL "
+        "SELECT p_partkey, 'retailprice', p_retailprice FROM part"
+    ),
+    "agg_grouping_sets": (
+        "SELECT r_name, n_name, count(*)::BIGINT AS n_cust, "
+        "round(sum(c_acctbal), 2) AS sum_bal "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY GROUPING SETS ((r_name), (n_name), ())"
+    ),
+    "win_ntile_cume": (
+        "SELECT c_custkey, ntile(4) OVER w::BIGINT AS quartile, "
+        "round(percent_rank() OVER w, 6) AS prank, "
+        "round(cume_dist() OVER w, 6) AS cdist FROM customer "
+        "WINDOW w AS (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal DESC, c_custkey)"
+    ),
+    "agg_string_collect": (
+        "SELECT c_nationkey, "
+        "string_agg(c_custkey::VARCHAR, ',' ORDER BY c_custkey) "
+        "AS custkeys, count(*)::BIGINT AS n FROM customer "
+        "WHERE c_custkey <= 600 GROUP BY c_nationkey"
+    ),
+    "str_similarity": (
+        "SELECT p_partkey, levenshtein(p_brand, 'Brand#33')::BIGINT "
+        "AS lev, strpos(p_type, 'BRASS')::BIGINT AS brass_pos FROM part"
+    ),
+    "subquery_decorrelated": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, "
+        "(SELECT sum(o2.o_totalprice::DECIMAL(18,2)) FROM orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey)::DOUBLE AS cust_sum, "
+        "(SELECT count(*) FROM orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey)::BIGINT AS n_orders "
+        "FROM orders o WHERE 2 * o_totalprice::DECIMAL(18,2) * ("
+        "SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey"
+        ") > 3 * (SELECT sum(o2.o_totalprice::DECIMAL(18,2)) "
+        "FROM orders o2 WHERE o2.o_custkey = o.o_custkey)"
+    ),
+    "explode_outer_null": (
+        "WITH t AS (SELECT doc_id, CASE WHEN lang = 'zh' THEN [] "
+        "ELSE string_split(text, ' ')[1:3] END AS l "
+        "FROM documents WHERE doc_id < 40) "
+        "SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) "
+        "AS pos, unnest(l) AS token FROM t WHERE len(l) > 0 "
+        "UNION ALL SELECT doc_id, NULL, NULL FROM t WHERE len(l) = 0"
+    ),
+    "sink_merge_upsert": (
+        "WITH src AS ("
+        "SELECT c_custkey AS k, c_acctbal + 1000.0 AS bal "
+        "FROM customer WHERE c_custkey % 7 = 0 "
+        "UNION ALL SELECT c_custkey + 1000000, 0.0 "
+        "FROM customer WHERE c_custkey % 11 = 0) "
+        "SELECT coalesce(k, c_custkey)::BIGINT AS c_custkey, "
+        "round(coalesce(bal, c_acctbal), 2) AS c_acctbal, "
+        "CASE WHEN k IS NULL THEN 'kept' "
+        "WHEN c_custkey IS NULL THEN 'inserted' "
+        "ELSE 'updated' END AS op "
+        "FROM customer FULL JOIN src ON c_custkey = k"
+    ),
+    "join_bucketed_colocated": (
+        "SELECT c_custkey, count(*)::BIGINT AS n_orders, "
+        "round(sum(o_totalprice), 2) AS sum_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_custkey"
     ),
     "source_json_roundtrip": (
         "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
@@ -1178,6 +1461,16 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_json_roundtrip": source_json_roundtrip,
     "sink_append_parquet": sink_append_parquet,
     "sink_partitioned": sink_partitioned,
+    "sink_merge_upsert": sink_merge_upsert,
+    "pivot_wide": pivot_wide,
+    "unpivot_long": unpivot_long,
+    "agg_grouping_sets": agg_grouping_sets,
+    "win_ntile_cume": win_ntile_cume,
+    "agg_string_collect": agg_string_collect,
+    "str_similarity": str_similarity,
+    "subquery_decorrelated": subquery_decorrelated,
+    "explode_outer_null": explode_outer_null,
+    "join_bucketed_colocated": join_bucketed_colocated,
     "scan_parquet": scan_parquet,
     "scan_projection_pushdown": scan_projection_pushdown,
     "filter_pred": filter_pred,

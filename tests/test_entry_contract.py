@@ -40,6 +40,11 @@ SUBSET = [
     "source_csv_roundtrip",  # r3: CSV write -> schema read round-trip
     "emb_centroid_per_label",  # r3: codebook-update aggregation shape
     "docs_ngram_topk",  # r3: JVM-side trigram fan-out + top-k
+    "pivot_wide",  # r3 continuation: explicit-value pivot
+    "agg_grouping_sets",  # r3 continuation: explicit GROUPING SETS
+    "explode_outer_null",  # r3 continuation: empty-array-preserving fan-out
+    "sink_merge_upsert",  # r3 continuation: full-outer MERGE emulation
+    "join_bucketed_colocated",  # r3 continuation: shuffle-free bucket join
 ]
 
 

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from spider_1_spark.functions import codecs, robots
+from spider_1_spark.functions import codecs, imageops, robots
 from spider_1_spark.functions.extract import extract_refs
 from spider_1_spark.functions.phash import dhash64
 from spider_1_spark.functions.urlnorm import canonicalize, host_of
@@ -195,3 +195,94 @@ class TestExtract:
     def test_empty_and_none(self):
         assert extract_refs(None) == []
         assert extract_refs(b"<html></html>") == []
+
+
+# ---------------------------------------------------------- imageops
+class TestImageOps:
+    """Resize / video-container / PCM kernels (functions/imageops.py)
+    backing the multimodal pipeline ops."""
+
+    def _img(self, w, h, seed=7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+    def test_resize_same_size_is_identity(self):
+        rgb = self._img(20, 12)
+        assert np.array_equal(imageops.resize_nearest(rgb, 12, 20), rgb)
+        assert np.array_equal(imageops.resize_bilinear(rgb, 12, 20), rgb)
+
+    def test_resize_constant_image_stays_constant(self):
+        rgb = np.full((10, 14, 3), 201, dtype=np.uint8)
+        for fn in (imageops.resize_nearest, imageops.resize_bilinear):
+            out = fn(rgb, 16, 16)
+            assert out.shape == (16, 16, 3)
+            assert np.all(out == 201)
+
+    def test_nearest_integer_downscale_picks_block_corners(self):
+        # 4x4 image of 2x2 blocks -> 2x2 nearest picks each block's
+        # top-left pixel: index map (i*4)//2 = 0,2
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        rgb[:2, :2] = 10
+        rgb[:2, 2:] = 20
+        rgb[2:, :2] = 30
+        rgb[2:, 2:] = 40
+        out = imageops.resize_nearest(rgb, 2, 2)
+        assert out[:, :, 0].tolist() == [[10, 20], [30, 40]]
+
+    def test_bilinear_2x_upscale_midpoints(self):
+        # 1x2 row [0, 100] -> 1x4 with half-pixel centers: the two
+        # inner samples sit at source x=0.25 and x=0.75
+        rgb = np.zeros((1, 2, 3), dtype=np.uint8)
+        rgb[0, 1] = 100
+        out = imageops.resize_bilinear(rgb, 1, 4)
+        assert out[0, :, 0].tolist() == [0, 25, 75, 100]
+
+    def test_bilinear_average_preserved_on_2x_downscale(self):
+        # exact 2x downscale with half-pixel centers samples the
+        # center of each 2x2 block = the block mean
+        rgb = self._img(8, 8)
+        out = imageops.resize_bilinear(rgb, 4, 4)
+        blocks = rgb.astype(np.float64).reshape(4, 2, 4, 2, 3).mean(
+            axis=(1, 3)
+        )
+        assert np.max(np.abs(out.astype(np.float64) - blocks)) <= 0.5
+
+    def test_video_roundtrip(self):
+        frames = [codecs.encode(self._img(8, 6, s), "png")
+                  for s in range(5)]
+        data = imageops.encode_video(frames)
+        assert imageops.decode_video(data) == frames
+
+    def test_video_container_errors(self):
+        with pytest.raises(imageops.ContainerError):
+            imageops.decode_video(b"NOPE")
+        with pytest.raises(imageops.ContainerError):
+            imageops.decode_video(b"VID1\x02\x00\xff\xff\xff\xff")
+        good = imageops.encode_video([b"abc"])
+        with pytest.raises(imageops.ContainerError):
+            imageops.decode_video(good + b"extra")
+
+    def test_pcm_roundtrip_and_features(self):
+        samples = np.array([3, -4, 5, 0, -2, 2], dtype=np.int16)
+        rate, back = imageops.decode_pcm(imageops.encode_pcm(16000, samples))
+        assert rate == 16000
+        assert np.array_equal(back, samples)
+        rms, zcr = imageops.pcm_features(samples)
+        # crossings at 3/-4, -4/5, -2/2 (products < 0; zeros excluded)
+        assert zcr == 3
+        assert rms == pytest.approx(float(np.sqrt(np.mean(samples
+                                                          .astype(np.int64)
+                                                          ** 2))))
+
+    def test_pcm_alternating_sign_crosses_everywhere(self):
+        s = np.array([1, -1] * 50, dtype=np.int16)
+        rms, zcr = imageops.pcm_features(s)
+        assert zcr == 99
+        assert rms == pytest.approx(1.0)
+
+    def test_pcm_errors_and_empty(self):
+        with pytest.raises(imageops.ContainerError):
+            imageops.decode_pcm(b"PCM1\x00\x1f")
+        with pytest.raises(imageops.ContainerError):
+            imageops.decode_pcm(b"PCM1" + b"\x00" * 4 + b"\x01")
+        assert imageops.pcm_features(np.array([], dtype=np.int16)) == (0.0, 0)

@@ -821,3 +821,121 @@ def test_decontaminate_ngram_df_cap_drops_boilerplate(spark):
     }
     assert 1 not in got, "boilerplate-only overlap must be capped away"
     assert got == {2: (3, 1)}
+
+
+def test_multimodal_resize_matches_pure_python_oracle(spark, sf_dir):
+    """Full per-row oracle: re-run decode + resize kernels single-
+    process over the SAME fixture parquet and compare every checksum
+    — the Spark plumbing (binary scan, repartition, Arrow batches)
+    must be a pure pass-through around the kernels."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.functions.codecs import decode
+    from spider_1_spark.functions.imageops import (
+        resize_bilinear,
+        resize_nearest,
+    )
+    from spider_1_spark.pipeline.queries import (
+        MM_RESIZE_HW,
+        _mm_fixture_path,
+        multimodal_resize,
+    )
+
+    rows = multimodal_resize(spark, sf_dir).collect()
+    tbl = pq.read_table(_mm_fixture_path(spark)).to_pylist()
+    expect = {}
+    for rec in tbl:
+        if rec["declared_fmt"] == "jpeg":
+            expect[rec["image_id"]] = ("unsupported_codec", None, None)
+            continue
+        rgb, _ = decode(bytes(rec["bytes"]))
+        nn = resize_nearest(rgb, MM_RESIZE_HW, MM_RESIZE_HW)
+        bil = resize_bilinear(rgb, MM_RESIZE_HW, MM_RESIZE_HW)
+        cks = int.from_bytes(
+            hashlib.blake2b(nn.tobytes(), digest_size=8).digest(),
+            "big", signed=True,
+        )
+        expect[rec["image_id"]] = ("ok", cks, round(float(bil.mean()), 4))
+    assert len(rows) == len(expect)
+    for r in rows:
+        st, cks, bm = expect[r.image_id]
+        assert r.status == st
+        assert r.nn_checksum == cks
+        assert r.bil_mean == bm
+
+
+def test_multimodal_frame_sample_matches_pure_python_oracle(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.functions.codecs import decode
+    from spider_1_spark.functions.imageops import (
+        ContainerError,
+        decode_video,
+    )
+    from spider_1_spark.functions.phash import dhash64
+    from spider_1_spark.pipeline.queries import (
+        VID_STRIDE,
+        _video_fixture_path,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    tbl = pq.read_table(_video_fixture_path(spark)).to_pylist()
+    expect = set()
+    for rec in tbl:
+        try:
+            frames = decode_video(bytes(rec["bytes"]))
+        except ContainerError:
+            expect.add((rec["video_id"], "container_error",
+                        None, None, None, None, None))
+            continue
+        for idx in range(0, len(frames), VID_STRIDE):
+            rgb, _ = decode(frames[idx])
+            expect.add((rec["video_id"], "ok", idx, len(frames),
+                        rgb.shape[1], rgb.shape[0], dhash64(rgb)))
+    got = {(r.video_id, r.status, r.frame_idx, r.n_frames, r.w, r.h,
+            r.frame_phash) for r in rows}
+    assert got == expect
+    # stride sampling is visibly exercised: clips with >3 frames
+    # contribute >1 row and skipped indices are absent
+    vids = [r for r in rows if r.video_id == "vid04" and r.status == "ok"]
+    assert sorted(r.frame_idx for r in vids) == [0, 3, 6, 9]
+
+
+def test_multimodal_audio_features_match_numpy(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.functions.imageops import (
+        ContainerError,
+        decode_pcm,
+        pcm_features,
+    )
+    from spider_1_spark.pipeline.queries import (
+        _audio_fixture_path,
+        multimodal_audio_features,
+    )
+
+    rows = multimodal_audio_features(spark, sf_dir).collect()
+    tbl = pq.read_table(_audio_fixture_path(spark)).to_pylist()
+    expect = {}
+    for rec in tbl:
+        try:
+            rate, samples = decode_pcm(bytes(rec["bytes"]))
+        except ContainerError:
+            expect[rec["clip_id"]] = None
+            continue
+        rms, zcr = pcm_features(samples)
+        expect[rec["clip_id"]] = (
+            rate, samples.size, samples.size * 1000 // rate,
+            round(rms, 4), zcr,
+        )
+    assert len(rows) == len(expect)
+    for r in rows:
+        e = expect[r.clip_id]
+        if e is None:
+            assert r.status == "container_error" and r.rms is None
+        else:
+            assert r.status == "ok"
+            assert (r.rate, r.n_samples, r.duration_ms, r.rms, r.zcr) == e
