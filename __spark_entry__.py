@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 76 registered keys, so the registry is ordered by
+# the first 50 of the 89 registered keys, so the registry is ordered by
 # evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
@@ -158,7 +158,7 @@ _FIRST_KEYS = (
 # subquery_decorrelated, explode_outer_null, sink_merge_upsert,
 # join_bucketed_colocated, multimodal_{resize,frame_sample,
 # audio_features}) and a 50-row window, 39 keys fall outside it:
-# the 43 _FIRST_KEYS + the first 7 unpinned full-SQL keys fill the
+# the 44 _FIRST_KEYS + the first 6 unpinned full-SQL keys fill the
 # window.  Every key left outside carries an r02 full or rows-only
 # row and is untouched by round-3 engine code, so every key has a
 # driver row in r02 ∪ r03 and every round-3-changed or round-3-new

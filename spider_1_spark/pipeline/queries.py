@@ -1454,7 +1454,7 @@ def multimodal_resize(spark, sf):
                     image_id, "ok", rgb.shape[1], rgb.shape[0],
                     nn_sum, round(float(bil.mean()), 4),
                 ))
-            cols = list(zip(*out))
+            cols = list(zip(*out)) if out else [[]] * 6
             yield pd.DataFrame({
                 "image_id": cols[0],
                 "status": cols[1],
@@ -1484,7 +1484,7 @@ def _video_fixture_path(spark) -> str:
     from spider_1_spark.functions.codecs import encode
     from spider_1_spark.functions.imageops import encode_video
 
-    final = os.path.join(tempfile.gettempdir(), "spider1_video_fixture_v1")
+    final = os.path.join(tempfile.gettempdir(), "spider1_video_fixture_v2")
     if os.path.isdir(final):
         return final
     rows = []
@@ -1500,6 +1500,11 @@ def _video_fixture_path(spark) -> str:
             frames.append(encode(rgb, "ppm" if f % 2 else "png"))
         rows.append((f"vid{v:02d}", encode_video(frames)))
     rows.append(("vid-corrupt", b"VID1\x02\x00\xff\xff\xff\xff"))
+    # a well-formed container whose frame decodes but is smaller than
+    # the 9x8 dHash grid — pins the frame_too_small degradation path
+    tiny = (np.arange(4 * 4 * 3, dtype=np.int64) % 256).astype(
+        np.uint8).reshape(4, 4, 3)
+    rows.append(("vid-tiny", encode_video([encode(tiny, "ppm")])))
     staging = final + "." + uuid.uuid4().hex[:8]
     spark.createDataFrame(
         rows, "video_id string, bytes binary"
@@ -1551,8 +1556,18 @@ def multimodal_frame_sample(spark, sf):
                         out.append((video_id, "decode_failed", idx,
                                     len(frames), None, None, None))
                         continue
+                    try:
+                        ph = dhash64(rgb)
+                    except ValueError:
+                        # decodable but below the 9x8 dHash grid: keep
+                        # the frame row (w/h are real), phash NULL —
+                        # a tiny thumbnail must not kill the task
+                        out.append((video_id, "frame_too_small", idx,
+                                    len(frames), rgb.shape[1],
+                                    rgb.shape[0], None))
+                        continue
                     out.append((video_id, "ok", idx, len(frames),
-                                rgb.shape[1], rgb.shape[0], dhash64(rgb)))
+                                rgb.shape[1], rgb.shape[0], ph))
             cols = list(zip(*out)) if out else [[]] * 7
             yield pd.DataFrame({
                 "video_id": cols[0],

@@ -1080,38 +1080,65 @@ def join_bucketed_colocated(spark, sf):
     """Shuffle-free co-located join via bucketing: both sides are
     written bucketBy(8, key) + sortBy(key), so the join AND the
     following same-key aggregate read pre-partitioned, pre-sorted
-    buckets — the physical plan has ZERO Exchange nodes (asserted in
-    tests/test_relational_plans.py).  This is the §2 bucketing
-    promise made concrete: at 100 TB you bucket the big fact table
-    once and every subsequent key join/agg skips its shuffle."""
-    import uuid
-
-    tag = uuid.uuid4().hex[:8]
-    t_o, t_c = f"spider1_bkt_o_{tag}", f"spider1_bkt_c_{tag}"
-    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey",
-                                       "o_totalprice")
-    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    buckets — the physical plan has ZERO Exchange nodes (asserted on
+    THIS code path in tests/test_static_guards.py).  This is the §2
+    bucketing promise made concrete: at 100 TB you bucket the big
+    fact table once and every subsequent key join/agg skips its
+    shuffle."""
+    joined, drop = _bucketed_join_plan(spark, sf)
     try:
-        (o.write.format("parquet").bucketBy(8, "o_custkey")
-         .sortBy("o_custkey").option("path", _scratch_dir(f"bkto_{tag}", sf))
-         .mode("overwrite").saveAsTable(t_o))
-        (c.write.format("parquet").bucketBy(8, "c_custkey")
-         .sortBy("c_custkey").option("path", _scratch_dir(f"bktc_{tag}", sf))
-         .mode("overwrite").saveAsTable(t_c))
-        bo, bc = spark.table(t_o), spark.table(t_c)
-        joined = (
-            bo.join(bc, bo.o_custkey == bc.c_custkey)
-            .groupBy("c_custkey")
-            .agg(
-                F.count("*").alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            )
-        )
         # materialize before dropping the catalog entries it reads from
         return joined.localCheckpoint(eager=True)
     finally:
+        drop()
+
+
+def _bucketed_join_plan(spark, sf, merge_hint: bool = False):
+    """Build join_bucketed_colocated's plan; returns (joined_df, drop).
+
+    Shared by the production key and the zero-Exchange static plan
+    guard so the guard pins the REAL code path instead of a copy.
+    ``merge_hint=True`` forces sort-merge for the guard — at sf0.001
+    AQE would broadcast the tiny dim side (also shuffle-free, but it
+    wouldn't exercise bucketing); production leaves the choice to AQE
+    because at real scale both sides are large and SMJ is what runs.
+
+    Table names and scratch paths are stable per (sf, pid): DROP TABLE
+    on an external-path table never deletes its files, so a fresh
+    uuid-tagged path per call would leak one orders+customer copy per
+    invocation — path reuse plus mode("overwrite") keeps /tmp bounded,
+    the same discipline as _scratch_dir's sink/roundtrip callers.
+    Callers must materialize ``joined_df`` before calling ``drop()``
+    (it reads from the catalog entries drop() removes)."""
+    import os
+
+    pid = os.getpid()
+    t_o, t_c = f"spider1_bkt_o_{pid}", f"spider1_bkt_c_{pid}"
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey",
+                                       "o_totalprice")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    (o.write.format("parquet").bucketBy(8, "o_custkey")
+     .sortBy("o_custkey").option("path", _scratch_dir("bkto", sf))
+     .mode("overwrite").saveAsTable(t_o))
+    (c.write.format("parquet").bucketBy(8, "c_custkey")
+     .sortBy("c_custkey").option("path", _scratch_dir("bktc", sf))
+     .mode("overwrite").saveAsTable(t_c))
+    bo, bc = spark.table(t_o), spark.table(t_c)
+    joined = (
+        bo.join(bc.hint("merge") if merge_hint else bc,
+                bo.o_custkey == bc.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+    def drop() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+    return joined, drop
 
 
 # ----------------------------------------------------------------- SQL
@@ -1187,7 +1214,11 @@ SQL: dict[str, str | None] = {
         "FROM documents WHERE doc_id < 40) "
         "SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) "
         "AS pos, unnest(l) AS token FROM t WHERE len(l) > 0 "
-        "UNION ALL SELECT doc_id, NULL, NULL FROM t WHERE len(l) = 0"
+        # l IS NULL (NULL text -> string_split NULL): posexplode_outer
+        # emits one null row for a NULL array too, so this branch must
+        # not silently drop it (len(NULL) fails both comparisons)
+        "UNION ALL SELECT doc_id, NULL, NULL FROM t "
+        "WHERE len(l) = 0 OR l IS NULL"
     ),
     "sink_merge_upsert": (
         "WITH src AS ("

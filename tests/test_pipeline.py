@@ -893,11 +893,20 @@ def test_multimodal_frame_sample_matches_pure_python_oracle(spark, sf_dir):
             continue
         for idx in range(0, len(frames), VID_STRIDE):
             rgb, _ = decode(frames[idx])
+            try:
+                ph = dhash64(rgb)
+            except ValueError:
+                expect.add((rec["video_id"], "frame_too_small", idx,
+                            len(frames), rgb.shape[1], rgb.shape[0],
+                            None))
+                continue
             expect.add((rec["video_id"], "ok", idx, len(frames),
-                        rgb.shape[1], rgb.shape[0], dhash64(rgb)))
+                        rgb.shape[1], rgb.shape[0], ph))
     got = {(r.video_id, r.status, r.frame_idx, r.n_frames, r.w, r.h,
             r.frame_phash) for r in rows}
     assert got == expect
+    # the too-small-frame degradation path is visibly exercised
+    assert ("vid-tiny", "frame_too_small", 0, 1, 4, 4, None) in got
     # stride sampling is visibly exercised: clips with >3 frames
     # contribute >1 row and skipped indices are absent
     vids = [r for r in rows if r.video_id == "vid04" and r.status == "ok"]

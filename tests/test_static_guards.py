@@ -141,38 +141,16 @@ def test_bucketed_join_has_no_exchange(spark):
     on the join key -> the join AND the following same-key aggregate
     run with ZERO shuffle.  Any Exchange in the plan means bucketing
     stopped being honored (e.g. mismatched bucket counts or a config
-    regression) — the 100 TB story silently re-shuffles."""
-    from spider_1_spark.relational.queries import (
-        _scratch_dir,
-        _t,
-    )
-    from pyspark.sql import functions as F
-    import uuid
+    regression) — the 100 TB story silently re-shuffles.  Pins the
+    PRODUCTION plan builder (merge_hint forces SMJ because at sf0.001
+    AQE would broadcast the tiny dim side — also shuffle-free, but it
+    wouldn't exercise bucketing)."""
+    from spider_1_spark.relational.queries import _bucketed_join_plan
 
-    tag = uuid.uuid4().hex[:8]
-    t_o, t_c = f"guard_bkt_o_{tag}", f"guard_bkt_c_{tag}"
-    o = _t(spark, SF, "orders").select("o_orderkey", "o_custkey",
-                                       "o_totalprice")
-    c = _t(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    joined, drop = _bucketed_join_plan(spark, SF, merge_hint=True)
     try:
-        (o.write.format("parquet").bucketBy(8, "o_custkey")
-         .sortBy("o_custkey").option("path", _scratch_dir(f"gbo_{tag}", SF))
-         .mode("overwrite").saveAsTable(t_o))
-        (c.write.format("parquet").bucketBy(8, "c_custkey")
-         .sortBy("c_custkey").option("path", _scratch_dir(f"gbc_{tag}", SF))
-         .mode("overwrite").saveAsTable(t_c))
-        bo, bc = spark.table(t_o), spark.table(t_c)
-        # hint("merge"): at sf0.001 AQE would broadcast the tiny dim
-        # side (also shuffle-free, but it doesn't exercise bucketing);
-        # at real scale both sides are large and SMJ is what runs.
-        joined = (
-            bo.join(bc.hint("merge"), bo.o_custkey == bc.c_custkey)
-            .groupBy("c_custkey")
-            .agg(F.count("*").alias("n"))
-        )
         plan = _plan(joined)
         assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan, plan
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
-        spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+        drop()
