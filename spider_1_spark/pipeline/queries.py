@@ -922,6 +922,58 @@ def text_langid(spark, sf):
     )
 
 
+def text_repetition(spark, sf):
+    """Repetition-based quality signals (the Gopher-rules family):
+    distinct-word fraction, top-word mass, and duplicate-bigram
+    fraction per document — the filters that kill boilerplate and
+    degenerate/looping text before pre-training.
+
+    Scale shape: every signal is computed INSIDE the document's token
+    array (array_distinct / transform+filter / zip_with bigrams), so
+    the whole op is one codegen'd projection over the scan — zero
+    shuffle at any corpus size, unlike the naive explode + groupBy
+    formulation whose shuffle carries every token of the corpus.  The
+    per-row cost of the top-word scan is O(distinct × words); for
+    pathological million-word documents, cap the scan with
+    slice(words, 1, K) first (same filter semantics — Gopher applies
+    these to bounded windows anyway)."""
+    d = _docs(spark, sf)
+    words = F.split(F.trim("text"), r"\s+")
+    n = F.size(words).cast("double")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    ).cast("double")
+    big = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    distinct_frac = F.round(F.size(F.array_distinct(words)) / n, 6)
+    top_word_frac = F.round(top / n, 6)
+    dup_bigram_frac = F.when(
+        F.size(big) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(big)) / F.size(big).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        distinct_frac.alias("distinct_frac"),
+        top_word_frac.alias("top_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        (
+            (distinct_frac >= 0.3)
+            & (top_word_frac <= 0.12)
+            & (dup_bigram_frac <= 0.08)
+        ).alias("keep"),
+    )
+
+
 # --------------------------------------------------------- corpus curation
 
 # Per-stratum hash-threshold sample rates, as 4-hex-digit md5-prefix
@@ -1769,6 +1821,7 @@ PIPE_FNS = {
     "text_tokens": text_tokens,
     "text_quality": text_quality,
     "text_langid": text_langid,
+    "text_repetition": text_repetition,
     "sample_stratified": sample_stratified,
     "text_pii_scrub": text_pii_scrub,
     "docs_length_histogram": docs_length_histogram,
@@ -1845,6 +1898,28 @@ PIPE_SQL: dict[str, str | None] = {
         r"ELSE 'zh' END AS predicted FROM s) "
         r"SELECT lang, predicted, count(*)::BIGINT AS n FROM p "
         r"GROUP BY lang, predicted"
+    ),
+    # l[:len(l)-1] NOT l[:-1]: DuckDB's negative slice end is
+    # inclusive-from-the-end, so l[:-1] is the WHOLE list and list_zip
+    # would pad a NULL bigram per doc
+    "text_repetition": (
+        r"WITH t AS (SELECT doc_id, "
+        r"regexp_split_to_array(trim(text), '\s+') AS l "
+        r"FROM documents), b AS (SELECT doc_id, l, "
+        r"len(l) AS n, list_transform("
+        r"list_zip(l[:len(l)-1], l[2:]), x -> x[1] || ' ' || x[2]) "
+        r"AS big FROM t), m AS (SELECT doc_id, n::BIGINT AS n_words, "
+        r"round(len(list_distinct(l)) / n::DOUBLE, 6) AS distinct_frac, "
+        r"round(list_max(list_transform(list_distinct(l), "
+        r"w -> len(list_filter(l, x -> x = w)))) / n::DOUBLE, 6) "
+        r"AS top_word_frac, "
+        r"CASE WHEN len(big) > 0 THEN round(1.0 - "
+        r"len(list_distinct(big)) / len(big)::DOUBLE, 6) ELSE 0.0 END "
+        r"AS dup_bigram_frac FROM b) "
+        r"SELECT doc_id, n_words, distinct_frac, top_word_frac, "
+        r"dup_bigram_frac, (distinct_frac >= 0.3 AND "
+        r"top_word_frac <= 0.12 AND dup_bigram_frac <= 0.08) AS keep "
+        r"FROM m"
     ),
     "sample_stratified": (
         "SELECT lang, source, count(*)::BIGINT AS n_sampled, "

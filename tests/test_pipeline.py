@@ -674,6 +674,54 @@ def test_pii_scrub_redacts_planted_pii(spark, curation_dir):
             assert r.delta_chars == len(orig) - len(r.scrubbed)
 
 
+def test_text_repetition_signals_on_engineered_docs(spark):
+    """Exact repetition signals on docs with known structure: a
+    degenerate looping doc is dropped, a diverse doc is kept, and
+    every signal matches a pure-python oracle (including the
+    single-word doc whose bigram set is empty)."""
+    import shutil
+    import tempfile
+
+    from spider_1_spark.pipeline.queries import text_repetition
+
+    docs = {
+        0: "spam " * 9 + "spam",              # one word repeated 10x
+        1: "a b a b a b a b a b",             # all bigrams duplicated
+        2: "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",   # fully diverse
+        3: "one two three four five six seven eight nine ten once",
+        4: "solo",                            # no bigrams at all
+    }
+    tmp = tempfile.mkdtemp(prefix="spider1_rep_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in docs.items()],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {r.doc_id: r for r in text_repetition(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for i, t in docs.items():
+        ws = t.split()
+        n = len(ws)
+        distinct = len(set(ws)) / n
+        top = max(ws.count(w) for w in set(ws)) / n
+        bigs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        dup = (1 - len(set(bigs)) / len(bigs)) if bigs else 0.0
+        r = got[i]
+        assert r.n_words == n
+        assert r.distinct_frac == round(distinct, 6)
+        assert r.top_word_frac == round(top, 6)
+        assert r.dup_bigram_frac == round(dup, 6)
+        assert r.keep == (
+            distinct >= 0.3 and top <= 0.12 and dup <= 0.08
+        ), i
+    # the thresholds actually separate the engineered corpus
+    assert not got[0].keep and not got[1].keep
+    assert got[2].keep and got[3].keep
+
+
 def test_length_histogram_totals(spark, curation_dir):
     from spider_1_spark.pipeline.queries import docs_length_histogram
 
