@@ -974,6 +974,54 @@ def text_repetition(spark, sf):
     )
 
 
+SHUFFLE_SHARDS = 8
+
+
+def corpus_shard_shuffle(spark, sf):
+    """Deterministic global shuffle + sharding — the last stage of
+    training-data prep: every doc gets a pseudorandom but
+    parallelism-invariant position (shard, pos) so trainers stream
+    shards in a reproducible shuffled order with no RNG state.
+
+    shard = md5(doc_id) mod K and pos = rank of the hash within the
+    shard: a pure function of the key, so the assignment is identical
+    on 4 cores or 4000 executors and re-runnable incrementally (the
+    same property sample_stratified relies on).  Scale shape: ONE
+    shuffle, partitioned by shard — each task sorts only its own
+    shard (at 100 TB: K = O(corpus/target-shard-size), so per-task
+    sort stays bounded); the sink writes partitionBy(shard) so a
+    trainer reads one directory per shard.  The returned frame is the
+    read-back of that sink — the round-trip is what the driver
+    verifies."""
+    from spider_1_spark.relational.queries import _scratch_dir
+
+    d = _docs(spark, sf)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        h.alias("h"),
+        F.pmod(h, F.lit(SHUFFLE_SHARDS)).cast("int").alias("shard"),
+    )
+    ranked = staged.select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.row_number()
+        .over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+        .cast("long")
+        .alias("pos"),
+    )
+    out = _scratch_dir("shards", sf)
+    ranked.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id", "lang", F.col("shard").cast("int").alias("shard"), "pos"
+    )
+
+
 # --------------------------------------------------------- corpus curation
 
 # Per-stratum hash-threshold sample rates, as 4-hex-digit md5-prefix
@@ -1822,6 +1870,7 @@ PIPE_FNS = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_repetition": text_repetition,
+    "corpus_shard_shuffle": corpus_shard_shuffle,
     "sample_stratified": sample_stratified,
     "text_pii_scrub": text_pii_scrub,
     "docs_length_histogram": docs_length_histogram,
@@ -1920,6 +1969,15 @@ PIPE_SQL: dict[str, str | None] = {
         r"dup_bigram_frac, (distinct_frac >= 0.3 AND "
         r"top_word_frac <= 0.12 AND dup_bigram_frac <= 0.08) AS keep "
         r"FROM m"
+    ),
+    # h is a 32-bit hex prefix (non-negative), so % == pmod
+    "corpus_shard_shuffle": (
+        "WITH t AS (SELECT doc_id, lang, "
+        "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h "
+        "FROM documents) "
+        "SELECT doc_id, lang, (h % 8)::INTEGER AS shard, "
+        "row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) "
+        "AS pos FROM t"
     ),
     "sample_stratified": (
         "SELECT lang, source, count(*)::BIGINT AS n_sampled, "

@@ -722,6 +722,41 @@ def test_text_repetition_signals_on_engineered_docs(spark):
     assert got[2].keep and got[3].keep
 
 
+def test_corpus_shard_shuffle_matches_md5_oracle(spark, curation_dir):
+    """Shard assignment and within-shard order are a pure function of
+    doc_id (md5 oracle), positions are contiguous 1..n per shard, and
+    every shard is populated — the reproducible-global-shuffle
+    contract trainers rely on."""
+    import hashlib
+    from collections import Counter
+
+    from spider_1_spark.pipeline.queries import (
+        SHUFFLE_SHARDS,
+        corpus_shard_shuffle,
+    )
+
+    rows = corpus_shard_shuffle(spark, curation_dir).collect()
+    assert len(rows) == 400
+    order: dict[int, list[tuple[int, int]]] = {}
+    shard_of = {}
+    for i in range(400):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        s = h % SHUFFLE_SHARDS
+        shard_of[i] = s
+        order.setdefault(s, []).append((h, i))
+    for r in rows:
+        assert r.shard == shard_of[r.doc_id]
+    pos_map = {(r.shard, r.pos): r.doc_id for r in rows}
+    for s, lst in order.items():
+        lst.sort()
+        for p, (_, i) in enumerate(lst, start=1):
+            assert pos_map[(s, p)] == i
+    counts = Counter(r.shard for r in rows)
+    assert len(counts) == SHUFFLE_SHARDS
+    for s, lst in order.items():
+        assert counts[s] == len(lst)
+
+
 def test_length_histogram_totals(spark, curation_dir):
     from spider_1_spark.pipeline.queries import docs_length_histogram
 
