@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 91 registered keys, so the registry is ordered by
+# the first 50 of the 92 registered keys, so the registry is ordered by
 # evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
@@ -142,13 +142,14 @@ _FIRST_KEYS = (
     "multimodal_audio_features",
     "text_repetition",
     "corpus_shard_shuffle",
+    "emb_quantize_int8",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 91 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
+# With 92 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
 # ann_ivf_bucketed, sample_stratified, text_pii_scrub,
 # docs_length_histogram, docs_quantiles, dedup_cc_embedding,
 # dedup_phash_hamming, stream_stateful_first_seen,
@@ -159,9 +160,9 @@ _FIRST_KEYS = (
 # win_ntile_cume, agg_string_collect, str_similarity,
 # subquery_decorrelated, explode_outer_null, sink_merge_upsert,
 # join_bucketed_colocated, multimodal_{resize,frame_sample,
-# audio_features}, text_repetition, corpus_shard_shuffle) and a
-# 50-row window, 41 keys fall outside it:
-# the 46 _FIRST_KEYS + the first 4 unpinned full-SQL keys fill the
+# audio_features}, text_repetition, corpus_shard_shuffle,
+# emb_quantize_int8) and a 50-row window, 42 keys fall outside it:
+# the 47 _FIRST_KEYS + the first 3 unpinned full-SQL keys fill the
 # window.  Every key left outside carries an r02 full or rows-only
 # row and is untouched by round-3 engine code, so every key has a
 # driver row in r02 ∪ r03 and every round-3-changed or round-3-new
@@ -171,6 +172,7 @@ _FIRST_KEYS = (
 _LAST_FULL_KEYS = (
     "dedup_exact_hash",
     "udf_grouped_map",
+    "stream_session",
     "source_inline",
     "sink_append_parquet",
     "sink_partitioned",

@@ -974,6 +974,35 @@ def text_repetition(spark, sf):
     )
 
 
+def emb_quantize_int8(spark, sf):
+    """Symmetric int8 embedding quantization — the 4x storage/bandwidth
+    reduction every large embedding corpus ships with: per-vector
+    scale = 127 / max|x|, codes = round(x * scale) ∈ [-127, 127].
+
+    Scale shape: pure per-row array math (transform / array_max inside
+    codegen) — no shuffle, no UDF, no state; at 100 TB this runs at
+    scan speed.  The arithmetic is IEEE-double on both engines so the
+    DuckDB oracle matches code-for-code (verified bit-exact over the
+    full fixture); all-zero vectors degrade to scale 0 / zero codes
+    instead of dividing by zero.  The numpy reconstruction-error bound
+    (≤ 0.5/scale per coordinate) is pinned in pytest."""
+    e = _emb(spark, sf)
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.when(mx > 0, 127.0 / mx).otherwise(F.lit(0.0))
+    codes = F.transform(
+        "embedding",
+        lambda x: F.when(
+            mx > 0, F.round(x.cast("double") * (127.0 / mx)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(scale, 9).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
 SHUFFLE_SHARDS = 8
 
 
@@ -1871,6 +1900,7 @@ PIPE_FNS = {
     "text_langid": text_langid,
     "text_repetition": text_repetition,
     "corpus_shard_shuffle": corpus_shard_shuffle,
+    "emb_quantize_int8": emb_quantize_int8,
     "sample_stratified": sample_stratified,
     "text_pii_scrub": text_pii_scrub,
     "docs_length_histogram": docs_length_histogram,
@@ -1978,6 +2008,17 @@ PIPE_SQL: dict[str, str | None] = {
         "SELECT doc_id, lang, (h % 8)::INTEGER AS shard, "
         "row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) "
         "AS pos FROM t"
+    ),
+    "emb_quantize_int8": (
+        "WITH m AS (SELECT vec_id, label, embedding, "
+        "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx "
+        "FROM embeddings) "
+        "SELECT vec_id, label, "
+        "round(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END, 9) "
+        "AS scale, "
+        "list_transform(embedding, x -> CASE WHEN mx > 0 THEN "
+        "round(x::DOUBLE * (127.0 / mx))::INTEGER ELSE 0 END) AS codes "
+        "FROM m"
     ),
     "sample_stratified": (
         "SELECT lang, source, count(*)::BIGINT AS n_sampled, "

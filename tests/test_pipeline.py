@@ -757,6 +757,32 @@ def test_corpus_shard_shuffle_matches_md5_oracle(spark, curation_dir):
         assert counts[s] == len(lst)
 
 
+def test_emb_quantize_int8_reconstruction_bound(spark, sf_dir):
+    """Codes stay in [-127, 127], zero vectors degrade to scale 0, and
+    dequantized values reconstruct the input within the symmetric-
+    quantization bound (0.5 / scale per coordinate) — checked against
+    the raw vectors with numpy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.pipeline.queries import emb_quantize_int8
+
+    out = {r.vec_id: r for r in emb_quantize_int8(spark, sf_dir).collect()}
+    raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    assert len(out) == len(raw)
+    for rec in raw:
+        r = out[rec["vec_id"]]
+        v = np.asarray(rec["embedding"], dtype=np.float64)
+        codes = np.asarray(r.codes, dtype=np.int64)
+        assert codes.min() >= -127 and codes.max() <= 127
+        if not np.any(v):
+            assert r.scale == 0.0 and not codes.any()
+            continue
+        assert r.scale > 0
+        err = np.abs(v - codes / r.scale)
+        assert err.max() <= 0.5 / r.scale + 1e-9
+
+
 def test_length_histogram_totals(spark, curation_dir):
     from spider_1_spark.pipeline.queries import docs_length_histogram
 
