@@ -922,6 +922,9 @@ def text_langid(spark, sf):
     )
 
 
+REPETITION_SCAN_CAP = 10_000  # tokens per doc the signals are read from
+
+
 def text_repetition(spark, sf):
     """Repetition-based quality signals (the Gopher-rules family):
     distinct-word fraction, top-word mass, and duplicate-bigram
@@ -933,12 +936,21 @@ def text_repetition(spark, sf):
     the whole op is one codegen'd projection over the scan — zero
     shuffle at any corpus size, unlike the naive explode + groupBy
     formulation whose shuffle carries every token of the corpus.  The
-    per-row cost of the top-word scan is O(distinct × words); for
-    pathological million-word documents, cap the scan with
-    slice(words, 1, K) first (same filter semantics — Gopher applies
-    these to bounded windows anyway)."""
+    per-row cost of the top-word scan is O(distinct × words), so the
+    signals are computed over the first REPETITION_SCAN_CAP tokens —
+    bounding one pathological million-token spam page to a constant
+    per-row cost (Gopher applies these filters to bounded windows
+    anyway).  Tokens are the NON-EMPTY \\s+-split pieces: leading /
+    trailing tabs and newlines (ubiquitous in crawl text) must not
+    fabricate empty 'words' that skew every signal; empty/whitespace-
+    only docs degrade to zeroed signals + keep=false instead of
+    dividing by zero."""
     d = _docs(spark, sf)
-    words = F.split(F.trim("text"), r"\s+")
+    words = F.slice(
+        F.filter(F.split("text", r"\s+"), lambda x: x != ""),
+        1,
+        REPETITION_SCAN_CAP,
+    )
     n = F.size(words).cast("double")
     top = F.array_max(
         F.transform(
@@ -946,13 +958,16 @@ def text_repetition(spark, sf):
             lambda w: F.size(F.filter(words, lambda x: x == w)),
         )
     ).cast("double")
+    n_m1 = F.greatest(F.size(words) - 1, F.lit(0))  # slice len >= 0
     big = F.zip_with(
-        F.slice(words, 1, F.size(words) - 1),
-        F.slice(words, 2, F.size(words) - 1),
+        F.slice(words, 1, n_m1),
+        F.slice(words, 2, n_m1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    distinct_frac = F.round(F.size(F.array_distinct(words)) / n, 6)
-    top_word_frac = F.round(top / n, 6)
+    distinct_frac = F.when(
+        n > 0, F.round(F.size(F.array_distinct(words)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    top_word_frac = F.when(n > 0, F.round(top / n, 6)).otherwise(F.lit(0.0))
     dup_bigram_frac = F.when(
         F.size(big) > 0,
         F.round(
@@ -995,10 +1010,14 @@ def emb_quantize_int8(spark, sf):
             mx > 0, F.round(x.cast("double") * (127.0 / mx)).cast("int")
         ).otherwise(F.lit(0)),
     )
+    # scale is emitted UNROUNDED: 127/mx is IEEE-exact on both engines,
+    # and rounding it would zero out (or skew) the scale for
+    # large-magnitude vectors (mx >= ~1e10) whose codes are non-zero —
+    # a downstream dequantizer would divide by zero
     return e.select(
         "vec_id",
         "label",
-        F.round(scale, 9).alias("scale"),
+        scale.alias("scale"),
         codes.alias("codes"),
     )
 
@@ -1980,18 +1999,23 @@ PIPE_SQL: dict[str, str | None] = {
     ),
     # l[:len(l)-1] NOT l[:-1]: DuckDB's negative slice end is
     # inclusive-from-the-end, so l[:-1] is the WHOLE list and list_zip
-    # would pad a NULL bigram per doc
+    # would pad a NULL bigram per doc.  Tokens = non-empty \s+ pieces
+    # capped at REPETITION_SCAN_CAP, mirroring the Spark side.
     "text_repetition": (
         r"WITH t AS (SELECT doc_id, "
-        r"regexp_split_to_array(trim(text), '\s+') AS l "
+        r"list_slice(list_filter(regexp_split_to_array(text, '\s+'), "
+        rf"x -> x != ''), 1, {REPETITION_SCAN_CAP}) AS l "
         r"FROM documents), b AS (SELECT doc_id, l, "
         r"len(l) AS n, list_transform("
         r"list_zip(l[:len(l)-1], l[2:]), x -> x[1] || ' ' || x[2]) "
         r"AS big FROM t), m AS (SELECT doc_id, n::BIGINT AS n_words, "
-        r"round(len(list_distinct(l)) / n::DOUBLE, 6) AS distinct_frac, "
+        r"CASE WHEN n > 0 THEN "
+        r"round(len(list_distinct(l)) / n::DOUBLE, 6) ELSE 0.0 END "
+        r"AS distinct_frac, "
+        r"CASE WHEN n > 0 THEN "
         r"round(list_max(list_transform(list_distinct(l), "
         r"w -> len(list_filter(l, x -> x = w)))) / n::DOUBLE, 6) "
-        r"AS top_word_frac, "
+        r"ELSE 0.0 END AS top_word_frac, "
         r"CASE WHEN len(big) > 0 THEN round(1.0 - "
         r"len(list_distinct(big)) / len(big)::DOUBLE, 6) ELSE 0.0 END "
         r"AS dup_bigram_frac FROM b) "
@@ -2000,22 +2024,23 @@ PIPE_SQL: dict[str, str | None] = {
         r"top_word_frac <= 0.12 AND dup_bigram_frac <= 0.08) AS keep "
         r"FROM m"
     ),
-    # h is a 32-bit hex prefix (non-negative), so % == pmod
+    # h is a 32-bit hex prefix (non-negative), so % == pmod; the
+    # modulus interpolates SHUFFLE_SHARDS so retuning K cannot
+    # desynchronize engine and oracle
     "corpus_shard_shuffle": (
         "WITH t AS (SELECT doc_id, lang, "
         "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h "
         "FROM documents) "
-        "SELECT doc_id, lang, (h % 8)::INTEGER AS shard, "
-        "row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) "
-        "AS pos FROM t"
+        f"SELECT doc_id, lang, (h % {SHUFFLE_SHARDS})::INTEGER AS shard, "
+        f"row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} "
+        "ORDER BY h, doc_id) AS pos FROM t"
     ),
     "emb_quantize_int8": (
         "WITH m AS (SELECT vec_id, label, embedding, "
         "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx "
         "FROM embeddings) "
         "SELECT vec_id, label, "
-        "round(CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END, 9) "
-        "AS scale, "
+        "CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale, "
         "list_transform(embedding, x -> CASE WHEN mx > 0 THEN "
         "round(x::DOUBLE * (127.0 / mx))::INTEGER ELSE 0 END) AS codes "
         "FROM m"

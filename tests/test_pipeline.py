@@ -690,6 +690,10 @@ def test_text_repetition_signals_on_engineered_docs(spark):
         2: "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",   # fully diverse
         3: "one two three four five six seven eight nine ten once",
         4: "solo",                            # no bigrams at all
+        # leading/trailing tabs + newlines must NOT fabricate empty
+        # tokens (they would double-count and flip keep)
+        5: "\tv0 v1  v2 v3 v4 v5 v6 v7 v8 v9\n",
+        6: " \t \n ",                         # whitespace-only: zeroed
     }
     tmp = tempfile.mkdtemp(prefix="spider1_rep_")
     try:
@@ -703,10 +707,10 @@ def test_text_repetition_signals_on_engineered_docs(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
     for i, t in docs.items():
-        ws = t.split()
+        ws = t.split()  # python split drops empty pieces, like the op
         n = len(ws)
-        distinct = len(set(ws)) / n
-        top = max(ws.count(w) for w in set(ws)) / n
+        distinct = len(set(ws)) / n if n else 0.0
+        top = max(ws.count(w) for w in set(ws)) / n if n else 0.0
         bigs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
         dup = (1 - len(set(bigs)) / len(bigs)) if bigs else 0.0
         r = got[i]
@@ -720,6 +724,11 @@ def test_text_repetition_signals_on_engineered_docs(spark):
     # the thresholds actually separate the engineered corpus
     assert not got[0].keep and not got[1].keep
     assert got[2].keep and got[3].keep
+    # whitespace edges: doc 5 scores exactly like the diverse doc 2
+    # (10 real tokens, no empties) and the whitespace-only doc zeroes
+    assert got[5].n_words == 10 and got[5].keep
+    assert got[6].n_words == 0 and not got[6].keep
+    assert got[6].distinct_frac == 0.0 and got[6].dup_bigram_frac == 0.0
 
 
 def test_corpus_shard_shuffle_matches_md5_oracle(spark, curation_dir):
@@ -781,6 +790,46 @@ def test_emb_quantize_int8_reconstruction_bound(spark, sf_dir):
         assert r.scale > 0
         err = np.abs(v - codes / r.scale)
         assert err.max() <= 0.5 / r.scale + 1e-9
+
+
+def test_emb_quantize_int8_zero_and_large_vectors(spark):
+    """The degradation paths the sf fixture (unit-norm vectors) never
+    exercises: an all-zero vector must emit scale 0 + zero codes, and
+    a large-magnitude vector must keep an exact (unrounded) scale so
+    codes/scale dequantizes — a scale rounded to 9 decimals would
+    collapse to 0 for max|x| >= ~1e10."""
+    import shutil
+    import tempfile
+
+    from spider_1_spark.pipeline.queries import emb_quantize_int8
+
+    rows = [
+        (0, [0.0] * 4, 0),
+        (1, [1.0e12, -5.0e11, 0.0, 2.5e11], 1),
+        (2, [0.5, -0.25, 0.125, -1.0], 2),
+    ]
+    tmp = tempfile.mkdtemp(prefix="spider1_qnt_")
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        got = {r.vec_id: r for r in emb_quantize_int8(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got[0].scale == 0.0 and list(got[0].codes) == [0, 0, 0, 0]
+    big = got[1]
+    # -5e11/1e12 lands exactly on the .5 rounding boundary in reals,
+    # so that code is pinned only through the dequant bound below
+    assert big.scale > 0
+    assert big.codes[0] == 127 and big.codes[2] == 0
+    # dequantization round-trips within the bound even at 1e12 scale
+    # (compare against the float32-stored values; -5e11/1e12 sits ON
+    # the .5 tie, so the bound is met with relative slack only)
+    import numpy as np
+
+    for v, c in zip(np.asarray(rows[1][1], dtype=np.float32), big.codes):
+        assert abs(float(v) - c / big.scale) <= 0.5 / big.scale * (1 + 1e-6)
+    assert list(got[2].codes) == [64, -32, 16, -127]
 
 
 def test_length_histogram_totals(spark, curation_dir):
