@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 92 registered keys, so the registry is ordered by
+# the first 50 of the 93 registered keys, so the registry is ordered by
 # evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
@@ -143,13 +143,14 @@ _FIRST_KEYS = (
     "text_repetition",
     "corpus_shard_shuffle",
     "emb_quantize_int8",
+    "corpus_apply_dedup",
     # flagship crawl surface:
     "crawl_end_to_end",
     "crawl_url_canonicalize",
     "crawl_decode_phash",
 )
 
-# With 92 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
+# With 93 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
 # ann_ivf_bucketed, sample_stratified, text_pii_scrub,
 # docs_length_histogram, docs_quantiles, dedup_cc_embedding,
 # dedup_phash_hamming, stream_stateful_first_seen,
@@ -161,8 +162,9 @@ _FIRST_KEYS = (
 # subquery_decorrelated, explode_outer_null, sink_merge_upsert,
 # join_bucketed_colocated, multimodal_{resize,frame_sample,
 # audio_features}, text_repetition, corpus_shard_shuffle,
-# emb_quantize_int8) and a 50-row window, 42 keys fall outside it:
-# the 47 _FIRST_KEYS + the first 3 unpinned full-SQL keys fill the
+# emb_quantize_int8, corpus_apply_dedup) and a 50-row window, 43
+# keys fall outside it:
+# the 48 _FIRST_KEYS + the first 2 unpinned full-SQL keys fill the
 # window.  Every key left outside carries an r02 full or rows-only
 # row and is untouched by round-3 engine code, so every key has a
 # driver row in r02 ∪ r03 and every round-3-changed or round-3-new
@@ -173,6 +175,7 @@ _LAST_FULL_KEYS = (
     "dedup_exact_hash",
     "udf_grouped_map",
     "stream_session",
+    "topk_per_group",
     "source_inline",
     "sink_append_parquet",
     "sink_partitioned",

@@ -1875,6 +1875,39 @@ def _emb_dedup_sql(
     )
 
 
+def corpus_apply_dedup(spark, sf):
+    """The dedup story END-TO-END: corpus in, cleaned corpus out.
+    dedup_embedding_cosine finds near-dup PAIRS, dedup_cc_embedding
+    closes them into components — this op applies the verdict,
+    keeping exactly one canonical doc (the min-id member) per
+    component plus every singleton, i.e. what actually ships to
+    training.
+
+    Scale shape: the drop list (clustered non-canonical ids) is tiny
+    relative to the corpus — a near-dup component of size k drops
+    k-1 rows — so the final left_anti join broadcasts the drop side
+    and the corpus never shuffles; everything upstream inherits the
+    capped-bucket discipline of the pair stage."""
+    clusters = dedup_cc_embedding(spark, sf)
+    drop = clusters.filter(
+        F.col("vec_id") != F.col("component")
+    ).select("vec_id")
+    return _emb(spark, sf).join(
+        F.broadcast(drop), "vec_id", "left_anti"
+    ).select("vec_id", "label")
+
+
+def _apply_dedup_sql() -> str:
+    """Oracle for corpus_apply_dedup: the recursive-CTE component
+    labels (same as _cc_sql) filtered to non-canonical members, as a
+    NOT IN against the corpus."""
+    return (
+        "SELECT e.vec_id, e.label FROM embeddings e "
+        "WHERE e.vec_id NOT IN (SELECT vec_id FROM "
+        f"({_cc_sql()}) c WHERE vec_id <> component)"
+    )
+
+
 def _cc_sql() -> str:
     """DuckDB oracle for dedup_cc_embedding: the SAME bit-exact pair
     set (_emb_dedup_sql) closed transitively with a recursive CTE —
@@ -1910,6 +1943,7 @@ PIPE_FNS = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cc_embedding": dedup_cc_embedding,
+    "corpus_apply_dedup": corpus_apply_dedup,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
@@ -1946,6 +1980,7 @@ PIPE_SQL: dict[str, str | None] = {
     ),
     "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_cc_embedding": _cc_sql(),
+    "corpus_apply_dedup": _apply_dedup_sql(),
     "ann_cosine_topk": (
         "WITH scored AS (SELECT q.vec_id AS query_id, "
         "c.vec_id AS neighbor_id, "

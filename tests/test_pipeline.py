@@ -388,6 +388,50 @@ def test_cc_embedding_matches_union_find(spark, sf_dir):
     assert max(comp_sizes.values()) >= 3
 
 
+def test_corpus_apply_dedup_keeps_canonicals_and_singletons(spark, sf_dir):
+    """The cleaned corpus = every vec_id minus the non-canonical
+    members of each near-dup component (union-find oracle over the
+    same pair set): canonicals survive, duplicates are gone, and
+    singletons pass through untouched."""
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.pipeline.queries import (
+        corpus_apply_dedup,
+        dedup_embedding_cosine,
+    )
+
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    dropped = {x for x in parent if find(x) != x}
+    assert dropped, "fixture must actually drop duplicates"
+
+    all_ids = {
+        rec["vec_id"]
+        for rec in pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        ).to_pylist()
+    }
+    kept = {r.vec_id for r in corpus_apply_dedup(spark, sf_dir).collect()}
+    assert kept == all_ids - dropped
+
+
 def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     """A boilerplate-heavy corpus (many identical docs) must not blow
     up the LSH band self-join: buckets above the cap are dropped and
