@@ -144,10 +144,17 @@ _FIRST_KEYS = (
     "corpus_shard_shuffle",
     "emb_quantize_int8",
     "corpus_apply_dedup",
-    # flagship crawl surface:
+    # new in the second round-3 continuation session:
+    "join_skew_salted",
+    "join_bloom_prefilter",
+    "agg_hll_sketch",
+    "dedup_keep_best",
+    # flagship crawl surface (crawl_url_canonicalize /
+    # crawl_decode_phash rotated out: their r02 rows stand, the A2 /
+    # A14+A15 code they exercise is r3-unchanged, and the bit-for-bit
+    # pytest oracle is the full check anyway — the freed seats go to
+    # the four new keys above):
     "crawl_end_to_end",
-    "crawl_url_canonicalize",
-    "crawl_decode_phash",
 )
 
 # With 93 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
@@ -172,6 +179,10 @@ _FIRST_KEYS = (
 # unpinned ones): they are the structurally simplest queries — they
 # lose the least by rotating out.
 _LAST_FULL_KEYS = (
+    # demoted in the second continuation session to seat the four new
+    # keys: both unchanged since their r02 full-pass rows
+    "agg_hash_counts",
+    "udaf_via_applyInPandas",
     "dedup_exact_hash",
     "udf_grouped_map",
     "stream_session",

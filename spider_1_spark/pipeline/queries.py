@@ -84,6 +84,41 @@ def dedup_exact_hash(spark, sf):
     )
 
 
+def dedup_keep_best(spark, sf):
+    """Canonical-document SELECTION per exact-content group — which
+    copy survives dedup (dedup_exact picks min id; real curation keeps
+    the highest-QUALITY copy).  Group key = sha256 of the normalized
+    text (lowercase, trimmed, whitespace collapsed — so re-encoded /
+    re-wrapped mirrors of one page collapse); winner = max_by over the
+    ordering struct (n_chars, -doc_id): longest copy wins, ties to the
+    smallest doc_id, fully deterministic because doc_id is unique.
+
+    Scale shape: ONE hash aggregate with map-side partial aggregation
+    — each task keeps a single running winner per group, so a 10^9-copy
+    boilerplate group costs O(1) memory per task and never sorts.  The
+    window/row_number formulation (topk_per_group) would shuffle AND
+    sort every copy of every document; at 100 TB that difference is
+    the whole game."""
+    d = _docs(spark, sf)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    best = d.groupBy(F.sha2(norm, 256).alias("grp")).agg(
+        F.max_by(
+            F.struct(
+                F.col("doc_id").alias("doc_id"),
+                F.col("n_chars").alias("n_chars"),
+            ),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("b"),
+        F.count("*").alias("n_copies"),
+    )
+    return best.select(
+        "grp",
+        F.col("b.doc_id").alias("keep_id"),
+        F.col("b.n_chars").alias("keep_chars"),
+        "n_copies",
+    )
+
+
 # ---------------------------------------------------- dedup: minhash + LSH
 
 SIG_N, SIG_BANDS = 64, 16
@@ -1938,6 +1973,7 @@ def _cc_sql() -> str:
 PIPE_FNS = {
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
+    "dedup_keep_best": dedup_keep_best,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -1977,6 +2013,18 @@ PIPE_SQL: dict[str, str | None] = {
     "dedup_exact_hash": (
         "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, "
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
+    ),
+    # regex pinned to the Java-regex ∩ RE2 subset (\s+, 'g' = Spark's
+    # replace-all default); winner = longest copy, ties to min doc_id
+    "dedup_keep_best": (
+        "WITH g AS (SELECT sha256(regexp_replace(lower(trim(text)), "
+        "'\\s+', ' ', 'g')) AS grp, doc_id, n_chars FROM documents), "
+        "m AS (SELECT grp, max(n_chars) AS keep_chars, "
+        "count(*)::BIGINT AS n_copies FROM g GROUP BY grp) "
+        "SELECT m.grp, min(g.doc_id) AS keep_id, m.keep_chars, "
+        "m.n_copies FROM g JOIN m ON g.grp = m.grp "
+        "AND g.n_chars = m.keep_chars "
+        "GROUP BY m.grp, m.keep_chars, m.n_copies"
     ),
     "dedup_embedding_cosine": _emb_dedup_sql(),
     "dedup_cc_embedding": _cc_sql(),

@@ -1141,6 +1141,202 @@ def _bucketed_join_plan(spark, sf, merge_hint: bool = False):
     return joined, drop
 
 
+_SALT_N = 8
+
+
+def salted_equi_join(
+    fact: DataFrame, fact_key: str, salt_src: str,
+    dim: DataFrame, dim_key: str, n_salts: int = _SALT_N,
+) -> DataFrame:
+    """Equi-join ``fact⋈dim`` with the fact side salted on
+    ``pmod(xxhash64(salt_src), n_salts)`` and the dim side replicated
+    ``n_salts`` ways, so a hot ``fact_key`` spreads across ``n_salts``
+    shuffle tasks.  Each fact row matches exactly one dim replica —
+    the result is value-identical to the plain join (pinned on an
+    engineered hot key in tests/test_relational_ops.py)."""
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted.join(
+        replicated.hint("shuffle_hash"),
+        (salted[fact_key] == replicated[dim_key])
+        & (salted["_salt"] == replicated["_salt"]),
+    ).drop("_salt")
+
+
+def join_skew_salted(spark, sf):
+    """Skew-killing SALTED shuffle join — the §2/A5 salting promise as
+    a standalone relational key.  A hot join key (one customer with
+    10^8 orders at 100 TB) puts its entire row group in ONE shuffle
+    partition of a plain equi-join; salting splits it: the fact side
+    gets ``salt = pmod(xxhash64(o_orderkey), S)`` and the dim side is
+    replicated S ways (explode over sequence(0, S-1)), so the join key
+    ``(c_custkey, salt)`` spreads every hot key across S tasks.  Each
+    fact row matches exactly ONE dim replica, so the result is
+    value-identical to the unsalted join — which is exactly what the
+    un-salted SQL oracle verifies.  shuffle_hash hint keeps AQE from
+    broadcasting the (here small) dim side, so the salted exchange is
+    the plan that actually runs.  Sums are exact DECIMAL(18,2) before
+    the final double conversion: a salted join changes partial-agg
+    grouping, and double summation order must not flip a rounded
+    boundary value (the subquery_decorrelated lesson).
+    """
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    joined = salted_equi_join(
+        o, "o_custkey", "o_orderkey", c.select("c_custkey", "c_mktsegment"),
+        "c_custkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+_BLOOM_JOIN_M = 1 << 20  # bits (128 KiB bitmap)
+_BLOOM_JOIN_K = 4  # probes per key
+
+
+def _bloom_join_positions(df: DataFrame, key_col: str) -> DataFrame:
+    """k bloom bit-positions per key, computed IN THE JVM (xxhash64
+    with k seed columns inside whole-stage codegen) — both the build
+    and the probe side derive positions from the same expression, so
+    false negatives are structurally impossible."""
+    pos = [
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(_BLOOM_JOIN_M))
+        for i in range(_BLOOM_JOIN_K)
+    ]
+    return df.withColumn("_pos", F.array(*pos))
+
+
+def bloom_prefilter(
+    spark: SparkSession, fact: DataFrame, fact_key: str,
+    dim_keys: DataFrame, dim_key: str,
+) -> DataFrame:
+    """Prefilter ``fact`` to rows whose ``fact_key`` MAY appear in
+    ``dim_keys[dim_key]`` — zero false negatives, bounded false
+    positives (removed by the exact join the caller runs next).
+
+    Build: the dim side's bit positions are OR-ed into ONE partial
+    bitmap per partition (mapInPandas, numpy), and the driver ORs the
+    partials — O(partitions × m/8) driver bytes, independent of dim
+    row count (the reason this works when the dim is too big to
+    broadcast as rows but its 128 KiB bloom is not).  Probe: the fact
+    side's JVM-computed positions are tested against the broadcast
+    bitmap in a vectorized pandas_udf (numpy bit indexing, no per-row
+    Python)."""
+    import numpy as np
+
+    def build(batches):
+        bits = np.zeros(_BLOOM_JOIN_M // 8, dtype=np.uint8)
+        saw = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            saw = True
+            p = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["_pos"]]
+            )
+            np.bitwise_or.at(
+                bits, p >> 3, (1 << (p & 7)).astype(np.uint8)
+            )
+        if saw:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = (
+        _bloom_join_positions(dim_keys, dim_key)
+        .select("_pos")
+        .mapInPandas(build, "bits binary")
+        .collect()
+    )
+    bitmap = np.zeros(_BLOOM_JOIN_M // 8, dtype=np.uint8)
+    for row in partials:
+        bitmap |= np.frombuffer(row["bits"], dtype=np.uint8)
+    bmp_bcast = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def maybe_member(pos: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bmp_bcast.value, dtype=np.uint8)
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        arr = np.stack([np.asarray(a, dtype=np.int64) for a in pos])
+        hit = (bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return (
+        _bloom_join_positions(fact, fact_key)
+        .filter(maybe_member("_pos"))
+        .drop("_pos")
+    )
+
+
+def join_bloom_prefilter(spark, sf):
+    """Runtime bloom-filter join pruning — the semi-join-reduction
+    pattern for a fact⋈selective-dim join at 100 TB: the fact table
+    never shuffles rows that cannot match (see ``bloom_prefilter``
+    for the build/probe shape).  The exact join afterwards removes
+    bloom false positives, so the result is EXACTLY the plain join —
+    verified by the bloom-free SQL oracle.  This is the engine's A6
+    bloom-prefilter + A7 exact-join discipline re-expressed over
+    relational tables; zero-FN and pruning properties are pinned on
+    engineered keys in tests/test_relational_ops.py.
+    """
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    pre = bloom_prefilter(
+        spark, li, "l_orderkey", o.select("o_orderkey"), "o_orderkey"
+    )
+    joined = pre.join(
+        o.select("o_orderkey").hint("shuffle_hash"),
+        pre.l_orderkey == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_ext"),
+    )
+
+
+def agg_hll_sketch(spark, sf):
+    """Mergeable HLL sketches (Apache DataSketches built-ins) — the
+    pre-aggregated sketch-table pattern: at 100 TB you store one
+    serialized sketch per (partition, key), and distinct-count queries
+    MERGE sketches instead of rescanning raw data.  Here: one
+    user_id-sketch per event_type (hll_sketch_agg, partial-aggregable
+    map-side like any hash agg), then the cross-type total is computed
+    by hll_union_agg over the per-type sketches — never re-reading
+    events.  rows-only for the driver (estimates are impl-specific,
+    no DuckDB equivalent); pytest pins estimate-vs-exact error bounds
+    and merge-vs-direct consistency (tests/test_functions.py).
+    """
+    e = _t(spark, sf, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    per.persist()
+    per_est = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+    )
+    union = (
+        per.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+        )
+    )
+    out = per_est.unionByName(union).localCheckpoint(eager=True)
+    per.unpersist()
+    return out
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
@@ -1239,6 +1435,21 @@ SQL: dict[str, str | None] = {
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_custkey"
     ),
+    # the UNSALTED join: salting must be value-invisible
+    "join_skew_salted": (
+        "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
+        "sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    # the bloom-free join: the prefilter must be value-invisible
+    "join_bloom_prefilter": (
+        "SELECT o_orderkey, count(*)::BIGINT AS n_items, "
+        "sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_ext "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_totalprice > 400000 GROUP BY o_orderkey"
+    ),
+    "agg_hll_sketch": None,  # estimates are sketch-impl-specific
     "source_json_roundtrip": (
         "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
         "WHERE o_orderkey < 3000"
@@ -1502,6 +1713,9 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "subquery_decorrelated": subquery_decorrelated,
     "explode_outer_null": explode_outer_null,
     "join_bucketed_colocated": join_bucketed_colocated,
+    "join_skew_salted": join_skew_salted,
+    "join_bloom_prefilter": join_bloom_prefilter,
+    "agg_hll_sketch": agg_hll_sketch,
     "scan_parquet": scan_parquet,
     "scan_projection_pushdown": scan_projection_pushdown,
     "filter_pred": filter_pred,

@@ -45,6 +45,9 @@ SUBSET = [
     "explode_outer_null",  # r3 continuation: empty-array-preserving fan-out
     "sink_merge_upsert",  # r3 continuation: full-outer MERGE emulation
     "join_bucketed_colocated",  # r3 continuation: shuffle-free bucket join
+    "join_skew_salted",  # r3 continuation 2: salting is value-invisible
+    "join_bloom_prefilter",  # r3 continuation 2: bloom semi-join reduction
+    "dedup_keep_best",  # r3 continuation 2: canonical-copy selection
 ]
 
 

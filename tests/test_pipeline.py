@@ -474,6 +474,47 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     sig.unpersist()
 
 
+def test_dedup_keep_best_picks_longest_then_min_id(spark):
+    """Engineered dupe groups: normalization (lower/trim/collapse-ws)
+    must merge re-wrapped mirrors; winner = longest copy, ties to the
+    smallest doc_id; python sha256 oracle pins the group keys."""
+    import hashlib
+    import re
+
+    from spider_1_spark.pipeline.queries import dedup_keep_best
+
+    rows = [
+        (1, "Hello  World"),          # group A, 12 chars
+        (2, "hello world"),           # group A, 11 chars
+        (3, "  HELLO WORLD "),        # group A, 14 chars -> winner
+        (4, "same text!"),            # group B, 10 chars -> tie, min id
+        (5, "same TEXT!"),            # group B, 10 chars
+        (6, "a singleton document"),  # group C
+    ]
+    tmp = tempfile.mkdtemp(prefix="spider1_keepbest_")
+    try:
+        spark.createDataFrame(
+            [(i, t, len(t)) for i, t in rows],
+            "doc_id long, text string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.grp: (r.keep_id, r.keep_chars, r.n_copies)
+            for r in dedup_keep_best(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def grp(text: str) -> str:
+        norm = re.sub(r"\s+", " ", text.strip(" ").lower())
+        return hashlib.sha256(norm.encode()).hexdigest()
+
+    assert got == {
+        grp("Hello  World"): (3, 14, 3),
+        grp("same text!"): (4, 10, 2),
+        grp("a singleton document"): (6, 20, 1),
+    }
+
+
 def test_simhash_block_cap_bounds_degenerate_blocks(spark):
     """A boilerplate-heavy corpus (identical simhashes) must not blow
     up the simhash block self-join: blocks above the cap are dropped

@@ -1,0 +1,104 @@
+"""Property tests for the scale-pattern relational ops added in r3:
+salted skew join, bloom-prefilter join reduction, HLL sketch aggs.
+
+DuckDB value-equality for the registry keys runs in
+test_entry_contract.py / scripts/check_oracle.py; here we pin the
+properties the oracle CANNOT see: salting is value-invisible under an
+engineered hot key, the bloom prefilter never drops a true match and
+actually prunes, and sketch estimates are merge-consistent and
+error-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spider_1_spark.relational.queries import (
+    bloom_prefilter,
+    salted_equi_join,
+)
+
+
+def test_salted_join_equals_plain_on_hot_key(spark):
+    """One key owns 80% of the fact side (the shape that stalls a
+    plain shuffle join at 100 TB).  The salted join must return
+    exactly the plain join's rows — salting is physical, not
+    semantic."""
+    hot = [(0, i) for i in range(4000)]
+    cold = [(k, 100_000 + k) for k in range(1, 51)]
+    fact = spark.createDataFrame(hot + cold, "k long, payload long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 51, 2)], "dk long, attr string"
+    )
+    salted = salted_equi_join(fact, "k", "payload", dim, "dk")
+    plain = fact.join(dim, fact.k == dim.dk)
+    got = sorted(map(tuple, salted.select("k", "payload", "attr").collect()))
+    want = sorted(map(tuple, plain.select("k", "payload", "attr").collect()))
+    assert got == want
+    assert len(got) == 4000 + 25  # hot key kept every copy
+
+
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    """The whole point: the hot key's rows must carry more than one
+    distinct salt value, i.e. land in more than one shuffle group."""
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(4000)], "k long, payload long"
+    )
+    salted = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("payload")), F.lit(8)).cast("int")
+    )
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts == 8
+
+
+def test_bloom_prefilter_zero_false_negatives_and_prunes(spark):
+    """Every true match survives the prefilter (FNs are structurally
+    impossible: build and probe share the JVM position expression);
+    the prefilter drops most non-matching keys (it is a filter, not a
+    pass-through)."""
+    fact = spark.createDataFrame(
+        [(k,) for k in range(20_000)], "fk long"
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in range(0, 20_000, 97)], "dk long"
+    )
+    pre = bloom_prefilter(spark, fact, "fk", dim, "dk")
+    kept = {r.fk for r in pre.collect()}
+    true_matches = set(range(0, 20_000, 97))
+    assert true_matches <= kept, "bloom dropped a true match"
+    # 207 true keys in a 2^20-bit bloom: FP rate is tiny — the
+    # prefilter must remove the overwhelming majority of non-matches
+    assert len(kept) < 1000, f"bloom pruned almost nothing: {len(kept)}"
+
+
+def test_bloom_prefilter_empty_dim_drops_everything(spark):
+    """An empty build side yields an all-zero bitmap: no fact row can
+    probe true (the empty-wave edge the engine's A6 also has)."""
+    fact = spark.createDataFrame([(k,) for k in range(100)], "fk long")
+    dim = spark.createDataFrame([], "dk long")
+    assert bloom_prefilter(spark, fact, "fk", dim, "dk").count() == 0
+
+
+def test_hll_sketch_estimate_bounds_and_merge_consistency(spark):
+    """lgk=12 HLL on 20k distinct keys: estimate within 5% of exact;
+    union-of-part-sketches estimates EXACTLY like the direct sketch
+    over the whole input (register-wise max is associative — the
+    property that makes pre-aggregated sketch tables sound)."""
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(40_000)], "part int, uid long"
+    )  # 40k rows, 40k distinct uids, 4 parts
+    per = df.groupBy("part").agg(
+        F.hll_sketch_agg("uid", F.lit(12)).alias("sk")
+    )
+    merged_est = (
+        per.agg(F.hll_union_agg("sk").alias("u"))
+        .select(F.hll_sketch_estimate("u").alias("est"))
+        .collect()[0]["est"]
+    )
+    direct_est = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12))).alias(
+            "est"
+        )
+    ).collect()[0]["est"]
+    assert merged_est == direct_est
+    assert abs(merged_est - 40_000) / 40_000 < 0.05

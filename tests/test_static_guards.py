@@ -136,6 +136,18 @@ def test_politeness_window_is_salted(spark):
     assert "xxhash64" in plan.lower()
 
 
+def test_salted_join_shuffles_instead_of_broadcasting(spark):
+    """join_skew_salted's shuffle_hash hint must hold: if AQE/Catalyst
+    broadcasts the replicated dim side, the salted exchange the key
+    exists to demonstrate never runs (the result would still be
+    correct — this is a plan guard, not a correctness guard)."""
+    from spider_1_spark.relational.queries import join_skew_salted
+
+    plan = _plan(join_skew_salted(spark, SF))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """join_bucketed_colocated's whole point: both sides pre-bucketed
     on the join key -> the join AND the following same-key aggregate
