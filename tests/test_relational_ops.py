@@ -11,6 +11,9 @@ error-bounded.
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from spider_1_spark.relational.queries import (
@@ -49,6 +52,29 @@ def test_salted_join_spreads_hot_key_across_salts(spark):
     )
     n_salts = salted.select("_salt").distinct().count()
     assert n_salts == 8
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=60),
+    st.lists(st.integers(0, 12), min_size=0, max_size=10, unique=True),
+    st.sampled_from([1, 2, 8]),
+)
+def test_salted_join_matches_plain_property(spark, fact_keys, dim_keys,
+                                            n_salts):
+    """∀ small tables and salt counts (incl. the degenerate S=1):
+    salted join ≡ plain join — duplicates, missing keys, empty dim."""
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "k long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys], "dk long, attr string"
+    ) if dim_keys else spark.createDataFrame([], "dk long, attr string")
+    salted = salted_equi_join(fact, "k", "payload", dim, "dk", n_salts)
+    plain = fact.join(dim, fact.k == dim.dk)
+    got = sorted(map(tuple, salted.select("k", "payload", "attr").collect()))
+    want = sorted(map(tuple, plain.select("k", "payload", "attr").collect()))
+    assert got == want
 
 
 def test_bloom_prefilter_zero_false_negatives_and_prunes(spark):
