@@ -157,6 +157,19 @@ _FIRST_KEYS = (
     "crawl_end_to_end",
 )
 
+# Keys implemented AFTER the r03 window filled (the 50 _FIRST_KEYS
+# above are all r3-new/modified or r01-rotation debts — none can yield
+# a seat without breaking the "every r3-changed key gets an r03 row"
+# policy).  These sort at positions 51+ — first in line for the r04
+# window rebalance; until then their correctness evidence is the
+# sf0.001 pytest subset (tests/test_entry_contract.py) and the local
+# sf0.01 gate (scripts/check_oracle.py), both value-exact vs DuckDB.
+_R4_QUEUE = (
+    "source_orc_roundtrip",
+    "win_sessionize_gap",
+    "docs_tfidf",
+)
+
 # With 93 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
 # ann_ivf_bucketed, sample_stratified, text_pii_scrub,
 # docs_length_histogram, docs_quantiles, dedup_cc_embedding,
@@ -237,8 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_url_canonicalize"] = _crawl_canonicalize
     out["crawl_decode_phash"] = _crawl_decode_phash
     sql = {**SQL, **PIPE_SQL}
-    pinned = set(_FIRST_KEYS) | set(_LAST_FULL_KEYS)
+    pinned = set(_FIRST_KEYS) | set(_LAST_FULL_KEYS) | set(_R4_QUEUE)
     order = [k for k in _FIRST_KEYS if k in out]
+    order += [k for k in _R4_QUEUE if k in out]
     order += [
         k for k in out
         if k not in pinned and sql.get(k) is not None

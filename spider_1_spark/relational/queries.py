@@ -907,6 +907,120 @@ def source_json_roundtrip(spark, sf):
 
 # ------------------------------------- reshaping / wide-surface (round 3)
 
+def source_orc_roundtrip(spark, sf):
+    """ORC source/sink: the second columnar format Spark ships a
+    native vectorized reader for (no extra jar).  Write the supplier
+    dim to ORC, read it back with an explicit schema, return the rows
+    — completing the source-format family (parquet / inline / CSV /
+    JSONL / ORC).  Oracle: the same rows off the parquet view — the
+    columnar re-encode must be value-exact including IEEE doubles."""
+    out = _scratch_dir("orc", sf)
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(out)
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).orc(out)
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def win_sessionize_gap(spark, sf):
+    """BATCH sessionization — the lag → new-session flag → running-sum
+    → group stack that assigns explicit session ids, complementing
+    stream_session (same 30-minute-gap semantics via session_window).
+    Emits per-session start, duration and event count.  Everything is
+    integer epoch-micros end-to-end (unix_micros / epoch_us), so both
+    engines agree bit-for-bit with no timestamp/session-tz round-trip.
+
+    Scale shape: two stacked windows + one hash aggregate, all
+    partitioned by user_id — ONE shuffle total (the windows and the
+    aggregate reuse the same partitioning), O(events-per-user log n)
+    per key and zero pair blowup.  Tiebreak on (ts, event_id) keeps
+    the flag deterministic under duplicate timestamps."""
+    e = _t(spark, sf, "events")
+    # ts is TIMESTAMP_NTZ: epoch micros by pure wall-clock arithmetic
+    # (unix_micros would inject the session tz — the join_asof trick)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.select(
+        "user_id", us.alias("ts_us"), "event_id"
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) >= _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start_us", "dur_us", "n_events")
+    )
+
+
+def docs_tfidf(spark, sf):
+    """TF-IDF term weighting over a bounded document slice — the
+    classic sparse text-featurization step of a training pipeline.
+    tf = term count within a doc, df = docs containing the term,
+    idf = ln((1+N)/(1+df)) + 1 (the smoothed form, never log 0), all
+    over whitespace tokens kept verbatim (no case folding — unicode
+    case mapping is the one step the two engines could disagree on).
+
+    Scale shape: the token fan-out stays in whole-stage codegen
+    (split + filter + explode); tf and df are two map-side-combined
+    hash aggregates; N arrives as a broadcast 1-row frame (never a
+    driver-side collect in the plan); the tf⋈df join shuffles on term
+    — at corpus scale the vocabulary side is Zipf-skewed, which is
+    exactly what AQE skew-join + the salting pattern
+    (join_skew_salted) are for.  Score is rounded to 6 dp on BOTH
+    engines: ln is the one non-correctly-rounded libm call in the
+    expression (≤ a few ulps cross-engine), everything else is IEEE
+    exact."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nf = d.agg(F.count("*").alias("n"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def pivot_wide(spark, sf):
     """Wide pivot: per-priority order counts by status.  Pivot values
     are ENUMERATED explicitly — letting Spark infer them costs a
@@ -1454,6 +1568,41 @@ SQL: dict[str, str | None] = {
         "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
         "WHERE o_orderkey < 3000"
     ),
+    "source_orc_roundtrip": (
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+    ),
+    # same lag-gap + cumsum formulation as stream_session's oracle,
+    # integer epoch-micros end-to-end
+    "win_sessionize_gap": (
+        "WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w "
+        ">= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS ("
+        "PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts_us, sum(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+        "SELECT user_id, min(ts_us) AS session_start_us, "
+        "max(ts_us) - min(ts_us) AS dur_us, "
+        "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    # smoothed idf; tokens verbatim (no case folding); rounded 6 dp on
+    # both engines (ln is the one non-correctly-rounded libm call)
+    "docs_tfidf": (
+        "WITH slice AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 40), "
+        "tok AS (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(text, '\\s+'), x -> x <> '')) AS term "
+        "FROM slice), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
+        "GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+        "FROM tok GROUP BY term), "
+        "n AS (SELECT count(*)::BIGINT AS n FROM slice) "
+        "SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "round(tf.tf * (ln((1 + n.n) / (1.0 + df.df)) + 1), 6) AS tfidf "
+        "FROM tf JOIN df USING (term) CROSS JOIN n"
+    ),
     "scan_parquet": "SELECT count(*) AS n FROM lineitem",
     "scan_projection_pushdown": (
         "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
@@ -1701,6 +1850,9 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_inline": source_inline,
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
+    "source_orc_roundtrip": source_orc_roundtrip,
+    "win_sessionize_gap": win_sessionize_gap,
+    "docs_tfidf": docs_tfidf,
     "sink_append_parquet": sink_append_parquet,
     "sink_partitioned": sink_partitioned,
     "sink_merge_upsert": sink_merge_upsert,
