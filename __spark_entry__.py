@@ -88,8 +88,8 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 93 registered keys, so the registry is ordered by
-# evidence value each round (VERDICT r2 item 5).  Round 3 leads with
+# the first 50 of the 100 registered keys, so the registry is ordered
+# by evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
 # dedup_embedding_cosine (parameterized bands/bits + bucket cap; its
@@ -170,27 +170,20 @@ _R4_QUEUE = (
     "docs_tfidf",
 )
 
-# With 93 keys (r3 adds 17 in the main session — ann_lsh_multiprobe,
-# ann_ivf_bucketed, sample_stratified, text_pii_scrub,
-# docs_length_histogram, docs_quantiles, dedup_cc_embedding,
-# dedup_phash_hamming, stream_stateful_first_seen,
-# stream_watermark_late, join_asof, udtf_lateral_tokens,
-# source_csv_roundtrip, source_json_roundtrip, emb_centroid_per_label,
-# docs_ngram_topk, decontaminate_ngram — and 13 more in the
-# continuation: pivot_wide, unpivot_long, agg_grouping_sets,
-# win_ntile_cume, agg_string_collect, str_similarity,
-# subquery_decorrelated, explode_outer_null, sink_merge_upsert,
-# join_bucketed_colocated, multimodal_{resize,frame_sample,
-# audio_features}, text_repetition, corpus_shard_shuffle,
-# emb_quantize_int8, corpus_apply_dedup) and a 50-row window, 43
-# keys fall outside it:
-# the 48 _FIRST_KEYS + the first 2 unpinned full-SQL keys fill the
-# window.  Every key left outside carries an r02 full or rows-only
-# row and is untouched by round-3 engine code, so every key has a
-# driver row in r02 ∪ r03 and every round-3-changed or round-3-new
-# key has an r03 row.  The keys listed below sort LAST (after the
-# unpinned ones): they are the structurally simplest queries — they
-# lose the least by rotating out.
+# Registry arithmetic at round-3 close: 100 keys total = the 50
+# _FIRST_KEYS (which exactly fill the driver's 50-row window: r3 added
+# 17 keys in the main session, 13 in the first continuation, 4 in the
+# second, plus the r01-rotation debts and r3-modified keys), the 3
+# _R4_QUEUE keys at positions 51-53, the 43 _LAST_FULL_KEYS below, and
+# 4 unpinned rows-only keys that sort last (doc_fingerprint,
+# multimodal_decode, crawl_url_canonicalize, crawl_decode_phash).
+# Every key outside the window except the _R4_QUEUE carries an r02
+# full or rows-only row and is untouched by round-3 engine code, so
+# every pre-r3 key has a driver row in r02 ∪ r03 and every
+# r3-changed key has an r03 row; the queue keys carry pytest +
+# check_oracle DuckDB evidence until the r04 window seats them.  The
+# keys listed below sort LAST: they are the structurally simplest
+# queries — they lose the least by rotating out.
 _LAST_FULL_KEYS = (
     # demoted in the second continuation session to seat the four new
     # keys: both unchanged since their r02 full-pass rows

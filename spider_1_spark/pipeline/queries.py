@@ -100,7 +100,15 @@ def dedup_keep_best(spark, sf):
     sort every copy of every document; at 100 TB that difference is
     the whole game."""
     d = _docs(spark, sf)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B
+    # (vertical tab) while RE2's does not — the one corner where the
+    # two engines' \s disagree.  The class below IS Java's \s, spelled
+    # so RE2 matches it identically (\x0B is a valid hex escape in
+    # both), keeping Spark behavior unchanged and the oracle exact on
+    # any input.
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"[ \t\n\r\f\x0B]+", " "
+    )
     best = d.groupBy(F.sha2(norm, 256).alias("grp")).agg(
         F.max_by(
             F.struct(
@@ -2014,11 +2022,13 @@ PIPE_SQL: dict[str, str | None] = {
         "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, "
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY sha256(text)"
     ),
-    # regex pinned to the Java-regex ∩ RE2 subset (\s+, 'g' = Spark's
-    # replace-all default); winner = longest copy, ties to min doc_id
+    # whitespace spelled as an explicit class (== Java \s incl. \x0B;
+    # RE2's bare \s would EXCLUDE \x0B and diverge); 'g' = Spark's
+    # replace-all default; winner = longest copy, ties to min doc_id
     "dedup_keep_best": (
         "WITH g AS (SELECT sha256(regexp_replace(lower(trim(text)), "
-        "'\\s+', ' ', 'g')) AS grp, doc_id, n_chars FROM documents), "
+        "'[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS grp, doc_id, n_chars "
+        "FROM documents), "
         "m AS (SELECT grp, max(n_chars) AS keep_chars, "
         "count(*)::BIGINT AS n_copies FROM g GROUP BY grp) "
         "SELECT m.grp, min(g.doc_id) AS keep_id, m.keep_chars, "

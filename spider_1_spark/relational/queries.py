@@ -993,18 +993,27 @@ def docs_tfidf(spark, sf):
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40).select(
         "doc_id", "text"
     )
+    # explicit whitespace class == Java \s (incl. \x0B); RE2's bare \s
+    # would exclude \x0B and the oracle would tokenize differently
     toks = d.select(
         "doc_id",
         F.explode(
-            F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            F.filter(
+                F.split("text", r"[ \t\n\r\f\x0B]+"), lambda x: x != ""
+            )
         ).alias("term"),
     )
+    # tf and df both consume the token fan-out — cache it so the
+    # tokenization (the expensive stage at corpus scale) runs once,
+    # then materialize the small result and release the cache (the
+    # module's standard session-lifetime discipline)
+    toks = toks.persist()
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df")
     )
     nf = d.agg(F.count("*").alias("n"))
-    return (
+    out = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(nf))
         .select(
@@ -1018,7 +1027,9 @@ def docs_tfidf(spark, sf):
                 6,
             ).alias("tfidf"),
         )
-    )
+    ).localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
 
 
 def pivot_wide(spark, sf):
@@ -1268,6 +1279,11 @@ def salted_equi_join(
     shuffle tasks.  Each fact row matches exactly one dim replica —
     the result is value-identical to the plain join (pinned on an
     engineered hot key in tests/test_relational_ops.py)."""
+    for side, df in (("fact", fact), ("dim", dim)):
+        if "_salt" in df.columns:
+            # withColumn would silently overwrite the caller's column
+            # and the final drop would remove it from the output
+            raise ValueError(f"{side} side already has a _salt column")
     salted = fact.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int"),
@@ -1321,7 +1337,10 @@ def _bloom_join_positions(df: DataFrame, key_col: str) -> DataFrame:
     """k bloom bit-positions per key, computed IN THE JVM (xxhash64
     with k seed columns inside whole-stage codegen) — both the build
     and the probe side derive positions from the same expression, so
-    false negatives are structurally impossible."""
+    false negatives are structurally impossible (PROVIDED the two
+    sides hash the same input type — bloom_prefilter enforces that)."""
+    if "_pos" in df.columns:
+        raise ValueError("input already has a _pos column")
     pos = [
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(_BLOOM_JOIN_M))
         for i in range(_BLOOM_JOIN_K)
@@ -1332,10 +1351,14 @@ def _bloom_join_positions(df: DataFrame, key_col: str) -> DataFrame:
 def bloom_prefilter(
     spark: SparkSession, fact: DataFrame, fact_key: str,
     dim_keys: DataFrame, dim_key: str,
-) -> DataFrame:
+):
     """Prefilter ``fact`` to rows whose ``fact_key`` MAY appear in
     ``dim_keys[dim_key]`` — zero false negatives, bounded false
     positives (removed by the exact join the caller runs next).
+    Returns ``(prefiltered_df, bitmap_broadcast)``: the caller owns
+    the broadcast and should ``destroy()`` it once the result is
+    materialized — a long-lived session invoking this per query would
+    otherwise accumulate one never-released broadcast per call.
 
     Build: the dim side's bit positions are OR-ed into ONE partial
     bitmap per partition (mapInPandas, numpy), and the driver ORs the
@@ -1346,6 +1369,19 @@ def bloom_prefilter(
     bitmap in a vectorized pandas_udf (numpy bit indexing, no per-row
     Python)."""
     import numpy as np
+
+    # xxhash64 is TYPE-sensitive: hash(1 as int) != hash(1 as bigint),
+    # so differently-typed key columns would compute different bit
+    # positions for equal values — silent false negatives.  Fail loudly
+    # instead; the caller casts to a common type.
+    fact_t = dict(fact.dtypes)[fact_key]
+    dim_t = dict(dim_keys.dtypes)[dim_key]
+    if fact_t != dim_t:
+        raise ValueError(
+            f"bloom_prefilter key type mismatch: fact.{fact_key} is "
+            f"{fact_t} but dim.{dim_key} is {dim_t} — xxhash64 would "
+            "hash equal values to different positions"
+        )
 
     def build(batches):
         bits = np.zeros(_BLOOM_JOIN_M // 8, dtype=np.uint8)
@@ -1383,11 +1419,12 @@ def bloom_prefilter(
         hit = (bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
         return pd.Series(hit.all(axis=1))
 
-    return (
+    pre = (
         _bloom_join_positions(fact, fact_key)
         .filter(maybe_member("_pos"))
         .drop("_pos")
     )
+    return pre, bmp_bcast
 
 
 def join_bloom_prefilter(spark, sf):
@@ -1403,19 +1440,25 @@ def join_bloom_prefilter(spark, sf):
     """
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
-    pre = bloom_prefilter(
+    pre, bmp = bloom_prefilter(
         spark, li, "l_orderkey", o.select("o_orderkey"), "o_orderkey"
     )
     joined = pre.join(
         o.select("o_orderkey").hint("shuffle_hash"),
         pre.l_orderkey == F.col("o_orderkey"),
     )
-    return joined.groupBy("o_orderkey").agg(
+    out = joined.groupBy("o_orderkey").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_ext"),
     )
+    # materialize, then release the bitmap broadcast — one invocation
+    # must not leave session-lifetime broadcast residue (the registry
+    # resource discipline every dedup op already follows)
+    out = out.localCheckpoint(eager=True)
+    bmp.destroy()
+    return out
 
 
 def agg_hll_sketch(spark, sf):
@@ -1592,8 +1635,8 @@ SQL: dict[str, str | None] = {
         "WITH slice AS (SELECT doc_id, text FROM documents "
         "WHERE doc_id < 40), "
         "tok AS (SELECT doc_id, unnest(list_filter("
-        "string_split_regex(text, '\\s+'), x -> x <> '')) AS term "
-        "FROM slice), "
+        "string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'), "
+        "x -> x <> '')) AS term FROM slice), "
         "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok "
         "GROUP BY doc_id, term), "
         "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "

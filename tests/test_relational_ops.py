@@ -88,8 +88,9 @@ def test_bloom_prefilter_zero_false_negatives_and_prunes(spark):
     dim = spark.createDataFrame(
         [(k,) for k in range(0, 20_000, 97)], "dk long"
     )
-    pre = bloom_prefilter(spark, fact, "fk", dim, "dk")
+    pre, bmp = bloom_prefilter(spark, fact, "fk", dim, "dk")
     kept = {r.fk for r in pre.collect()}
+    bmp.destroy()
     true_matches = set(range(0, 20_000, 97))
     assert true_matches <= kept, "bloom dropped a true match"
     # 207 true keys in a 2^20-bit bloom: FP rate is tiny — the
@@ -102,7 +103,32 @@ def test_bloom_prefilter_empty_dim_drops_everything(spark):
     probe true (the empty-wave edge the engine's A6 also has)."""
     fact = spark.createDataFrame([(k,) for k in range(100)], "fk long")
     dim = spark.createDataFrame([], "dk long")
-    assert bloom_prefilter(spark, fact, "fk", dim, "dk").count() == 0
+    pre, bmp = bloom_prefilter(spark, fact, "fk", dim, "dk")
+    assert pre.count() == 0
+    bmp.destroy()
+
+
+def test_bloom_prefilter_rejects_mismatched_key_types(spark):
+    """xxhash64 is type-sensitive (hash(1::int) != hash(1::long)) —
+    a silent type mismatch would be a silent false-negative source,
+    so the helper must fail loudly."""
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(1,)], "fk long")
+    dim = spark.createDataFrame([(1,)], "dk int")
+    with _pytest.raises(ValueError, match="type mismatch"):
+        bloom_prefilter(spark, fact, "fk", dim, "dk")
+
+
+def test_salted_join_rejects_reserved_column(spark):
+    """A caller-owned _salt column would be silently clobbered and
+    dropped — the helper must refuse instead."""
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([(1, 2, 0)], "k long, p long, _salt int")
+    dim = spark.createDataFrame([(1,)], "dk long")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_equi_join(fact, "k", "p", dim, "dk")
 
 
 def test_hll_sketch_estimate_bounds_and_merge_consistency(spark):
