@@ -605,8 +605,26 @@ def dedup_cc_embedding(spark, sf, max_rounds: int = 25):
     a lineage that re-executes the whole history every round.
     """
     pairs = dedup_embedding_cosine(spark, sf).select("id_a", "id_b")
+    return _min_label_components(
+        pairs, max_rounds, "dedup_cc_embedding"
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )
+
+
+def _min_label_components(
+    pairs: DataFrame, max_rounds: int, op_name: str
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list (2-column
+    ``pairs`` frame) → ``(id, comp, cluster_size)`` for every
+    non-singleton node.  Shared by the embedding and minhash CC ops —
+    see dedup_cc_embedding's docstring for the algorithm and its
+    scale/convergence envelope."""
+    a, b = pairs.columns
     edges = (
-        pairs.union(pairs.select("id_b", "id_a"))
+        pairs.union(pairs.select(b, a))
         .toDF("src", "dst")
         .repartition("src")
         .persist()
@@ -648,15 +666,31 @@ def dedup_cc_embedding(spark, sf, max_rounds: int = 25):
         # small-star alternation the docstring points at.
         edges.unpersist()
         raise RuntimeError(
-            f"dedup_cc_embedding did not converge in {max_rounds} "
+            f"{op_name} did not converge in {max_rounds} "
             f"rounds ({changed} labels still changing); the near-dup "
             "graph has a deeper component than min-label propagation "
             "should be used for"
         )
     edges.unpersist()
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "comp").select(
-        F.col("id").alias("vec_id"),
+    return labels.join(sizes, "comp").select("id", "comp", "cluster_size")
+
+
+def dedup_cc_minhash(spark, sf, max_rounds: int = 25):
+    """Connected-components clustering of the MinHash-LSH near-dup
+    pairs — the TEXT-side counterpart of dedup_cc_embedding, closing
+    the same gap: dedup_minhash_lsh emits pairwise edges, but corpus
+    dedup keeps one canonical doc per transitive component.  Same
+    min-label propagation (shared helper), labels = min reachable
+    doc_id + component size.  rows-only for the driver (the pair
+    stage is rows-only — signature agreement has no SQL equivalent);
+    pytest pins the exact component set against a pure-python
+    union-find over the same pairs."""
+    pairs = dedup_minhash_lsh(spark, sf).select("doc_a", "doc_b")
+    return _min_label_components(
+        pairs, max_rounds, "dedup_cc_minhash"
+    ).select(
+        F.col("id").alias("doc_id"),
         F.col("comp").alias("component"),
         "cluster_size",
     )
@@ -1987,6 +2021,7 @@ PIPE_FNS = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cc_embedding": dedup_cc_embedding,
+    "dedup_cc_minhash": dedup_cc_minhash,
     "corpus_apply_dedup": corpus_apply_dedup,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -2209,6 +2244,7 @@ PIPE_SQL: dict[str, str | None] = {
     ),
     # rows-only (pytest oracles in tests/test_pipeline.py):
     "dedup_minhash_lsh": None,
+    "dedup_cc_minhash": None,  # pair stage is rows-only (no SQL equiv)
     "dedup_ngram_jaccard": None,
     "dedup_simhash": None,
     "ann_lsh_bucketed": None,

@@ -972,6 +972,63 @@ def win_sessionize_gap(spark, sf):
     )
 
 
+def win_funnel_steps(spark, sf):
+    """Ordered-funnel conversion per user (view → click → purchase):
+    the first view, the first click STRICTLY AFTER that view, the
+    first purchase strictly after that click, and how many steps the
+    user reached — the sequential-pattern query behind every
+    conversion dashboard.
+
+    Scale shape: three map-side-combined min-aggregates chained by
+    equi-joins on user_id plus two left joins — every shuffle is on
+    user_id (AQE reuses the exchange), the state per user is three
+    longs, and no window ever scans a user's full history (a hot user
+    with 10^6 events costs three filtered min-folds, not 10^6 window
+    rows; an event-pair formulation would cost 10^12).  Integer
+    epoch-micros end-to-end, so both engines agree bit-for-bit."""
+    e = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    ev = e.select("user_id", "event_type", us.alias("us"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            (
+                F.lit(1)
+                + F.col("click_us").isNotNull().cast("int")
+                + F.col("purchase_us").isNotNull().cast("int")
+            )
+            .cast("bigint")
+            .alias("reached"),
+        )
+    )
+
+
 def docs_tfidf(spark, sf):
     """TF-IDF term weighting over a bounded document slice — the
     classic sparse text-featurization step of a training pipeline.
@@ -1629,6 +1686,26 @@ SQL: dict[str, str | None] = {
         "max(ts_us) - min(ts_us) AS dur_us, "
         "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
     ),
+    # per-step first-event funnel; integer epoch-micros throughout
+    "win_funnel_steps": (
+        "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us "
+        "FROM events), "
+        "v AS (SELECT user_id, min(us) AS view_us FROM ev "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT ev.user_id, min(ev.us) AS click_us FROM ev "
+        "JOIN v ON ev.user_id = v.user_id "
+        "WHERE event_type = 'click' AND ev.us > v.view_us "
+        "GROUP BY ev.user_id), "
+        "p AS (SELECT ev.user_id, min(ev.us) AS purchase_us FROM ev "
+        "JOIN c ON ev.user_id = c.user_id "
+        "WHERE event_type = 'purchase' AND ev.us > c.click_us "
+        "GROUP BY ev.user_id) "
+        "SELECT v.user_id, v.view_us, c.click_us, p.purchase_us, "
+        "(1 + (c.click_us IS NOT NULL)::INT "
+        "+ (p.purchase_us IS NOT NULL)::INT)::BIGINT AS reached "
+        "FROM v LEFT JOIN c ON v.user_id = c.user_id "
+        "LEFT JOIN p ON v.user_id = p.user_id"
+    ),
     # smoothed idf; tokens verbatim (no case folding); rounded 6 dp on
     # both engines (ln is the one non-correctly-rounded libm call)
     "docs_tfidf": (
@@ -1895,6 +1972,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_json_roundtrip": source_json_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
     "win_sessionize_gap": win_sessionize_gap,
+    "win_funnel_steps": win_funnel_steps,
     "docs_tfidf": docs_tfidf,
     "sink_append_parquet": sink_append_parquet,
     "sink_partitioned": sink_partitioned,

@@ -51,6 +51,7 @@ SUBSET = [
     "source_orc_roundtrip",  # r4 queue: ORC columnar round-trip
     "win_sessionize_gap",  # r4 queue: batch lag-gap sessionization
     "docs_tfidf",  # r4 queue: smoothed TF-IDF featurization
+    "win_funnel_steps",  # r4 queue: ordered funnel via min-agg chain
 ]
 
 

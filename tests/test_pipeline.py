@@ -388,6 +388,47 @@ def test_cc_embedding_matches_union_find(spark, sf_dir):
     assert max(comp_sizes.values()) >= 3
 
 
+def test_cc_minhash_matches_union_find(spark, sf_dir):
+    """dedup_cc_minhash must equal a pure-Python union-find over the
+    SAME minhash-LSH pair set (the text-side counterpart of
+    test_cc_embedding_matches_union_find): identical min-reachable
+    labels and component sizes, non-singletons only."""
+    from spider_1_spark.pipeline.queries import (
+        dedup_cc_minhash,
+        dedup_minhash_lsh,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture must produce minhash near-dup edges"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    want = {x: find(x) for x in parent}
+    comp_sizes: dict[int, int] = {}
+    for r in want.values():
+        comp_sizes[r] = comp_sizes.get(r, 0) + 1
+
+    got = dedup_cc_minhash(spark, sf_dir).collect()
+    assert {r.doc_id: r.component for r in got} == want
+    assert all(r.cluster_size == comp_sizes[r.component] for r in got)
+
+
 def test_corpus_apply_dedup_keeps_canonicals_and_singletons(spark, sf_dir):
     """The cleaned corpus = every vec_id minus the non-canonical
     members of each near-dup component (union-find oracle over the
