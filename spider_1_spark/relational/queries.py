@@ -127,6 +127,30 @@ def join_left_outer(spark, sf):
     )
 
 
+def join_full_outer(spark, sf):
+    """Full-outer equi-join as a standalone taxonomy key (previously
+    only exercised inside sink_merge_upsert): customers with no
+    orders AND orders whose customer fell outside the filtered dim
+    slice both survive with NULLs — the reconciliation shape (state
+    diff, ledger merge) where losing either side's unmatched rows is
+    the bug."""
+    c = _t(spark, sf, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey", "c_acctbal")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderkey") < 6000
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
 def join_nested_loop_theta(spark, sf):
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
@@ -1686,6 +1710,13 @@ SQL: dict[str, str | None] = {
         "max(ts_us) - min(ts_us) AS dur_us, "
         "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
     ),
+    "join_full_outer": (
+        "SELECT c_custkey, o_orderkey, round(c_acctbal, 2) AS bal, "
+        "round(o_totalprice, 2) AS price "
+        "FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c "
+        "FULL JOIN (SELECT * FROM orders WHERE o_orderkey < 6000) o "
+        "ON c_custkey = o_custkey"
+    ),
     # per-step first-event funnel; integer epoch-micros throughout
     "win_funnel_steps": (
         "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us "
@@ -2000,6 +2031,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_semi": join_left_semi,
     "join_left_outer": join_left_outer,
     "join_nested_loop_theta": join_nested_loop_theta,
+    "join_full_outer": join_full_outer,
     "join_range_interval": join_range_interval,
     "join_asof": join_asof,
     "agg_hash_counts": agg_hash_counts,

@@ -52,6 +52,7 @@ SUBSET = [
     "win_sessionize_gap",  # r4 queue: batch lag-gap sessionization
     "docs_tfidf",  # r4 queue: smoothed TF-IDF featurization
     "win_funnel_steps",  # r4 queue: ordered funnel via min-agg chain
+    "join_full_outer",  # r4 queue: standalone full-outer taxonomy row
 ]
 
 

@@ -556,6 +556,66 @@ def test_dedup_keep_best_picks_longest_then_min_id(spark):
     }
 
 
+def test_dedup_keep_best_randomized_matches_python_oracle(spark):
+    """One randomized 200-doc batch (seeded) with messy whitespace,
+    case variants, and engineered dupe families vs a pure-python
+    normalize/group/select oracle — the property the engineered
+    3-group test can't cover: arbitrary interleavings of spaces,
+    tabs, newlines, vertical tabs, and form feeds."""
+    import hashlib
+    import random
+    import re
+
+    from spider_1_spark.pipeline.queries import dedup_keep_best
+
+    rng = random.Random(77)
+    ws = [" ", "\t", "\n", "\x0b", "\f", "  ", " \t "]
+    bases = [f"base document {i} with words" for i in range(40)]
+    rows = []
+    for i in range(200):
+        base = rng.choice(bases)
+        words = base.split(" ")
+        if rng.random() < 0.5:
+            words = [w.upper() if rng.random() < 0.3 else w for w in words]
+        text = "".join(
+            w + (rng.choice(ws) if j < len(words) - 1 else "")
+            for j, w in enumerate(words)
+        )
+        if rng.random() < 0.3:
+            text = rng.choice(ws) + text
+        if rng.random() < 0.3:
+            text = text + rng.choice(ws)
+        rows.append((i, text, len(text)))
+
+    tmp = tempfile.mkdtemp(prefix="spider1_keepbest_rand_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.grp: (r.keep_id, r.keep_chars, r.n_copies)
+            for r in dedup_keep_best(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # python oracle mirroring the pinned normalization exactly:
+    # strip spaces only (SQL trim), lower, collapse [ \t\n\x0b\f\r]+
+    groups: dict[str, list[tuple[int, int]]] = {}
+    for i, text, n in rows:
+        norm = re.sub(
+            r"[ \t\n\r\f\x0b]+", " ", text.strip(" ").lower()
+        )
+        grp = hashlib.sha256(norm.encode()).hexdigest()
+        groups.setdefault(grp, []).append((i, n))
+    want = {}
+    for grp, members in groups.items():
+        keep = max(members, key=lambda m: (m[1], -m[0]))
+        want[grp] = (keep[0], keep[1], len(members))
+    assert got == want
+    assert any(v[2] > 1 for v in want.values()), "need real dupe groups"
+
+
 def test_simhash_block_cap_bounds_degenerate_blocks(spark):
     """A boilerplate-heavy corpus (identical simhashes) must not blow
     up the simhash block self-join: blocks above the cap are dropped
