@@ -1552,7 +1552,7 @@ def agg_hll_sketch(spark, sf):
     by hll_union_agg over the per-type sketches — never re-reading
     events.  rows-only for the driver (estimates are impl-specific,
     no DuckDB equivalent); pytest pins estimate-vs-exact error bounds
-    and merge-vs-direct consistency (tests/test_functions.py).
+    and merge-vs-direct consistency (tests/test_relational_ops.py).
     """
     e = _t(spark, sf, "events")
     per = e.groupBy("event_type").agg(
