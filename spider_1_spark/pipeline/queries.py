@@ -93,12 +93,17 @@ def dedup_keep_best(spark, sf):
     ordering struct (n_chars, -doc_id): longest copy wins, ties to the
     smallest doc_id, fully deterministic because doc_id is unique.
 
-    Scale shape: ONE hash aggregate with map-side partial aggregation
-    — each task keeps a single running winner per group, so a 10^9-copy
-    boilerplate group costs O(1) memory per task and never sorts.  The
-    window/row_number formulation (topk_per_group) would shuffle AND
-    sort every copy of every document; at 100 TB that difference is
-    the whole game."""
+    Scale shape: ONE aggregate with map-side partial aggregation —
+    each task reduces to a single winner per group BEFORE the
+    shuffle, so the exchange carries one candidate per group per
+    task and a 10^9-copy boilerplate group costs O(1) aggregation
+    state.  Physical note (from the .explain audit): max_by's struct
+    buffer is not hash-aggregable, so Spark plans a SortAggregate —
+    the sort is by GROUP KEY within each task (then a sequential
+    fold), not a per-group sort of copies; the decisive difference
+    from the window/row_number formulation (topk_per_group) remains
+    that a window shuffles and sorts EVERY copy of every document
+    with no map-side reduction."""
     d = _docs(spark, sf)
     # explicit whitespace class, NOT \s: Java's \s includes \x0B
     # (vertical tab) while RE2's does not — the one corner where the

@@ -1005,11 +1005,16 @@ def win_funnel_steps(spark, sf):
 
     Scale shape: three map-side-combined min-aggregates chained by
     equi-joins on user_id plus two left joins — every shuffle is on
-    user_id (AQE reuses the exchange), the state per user is three
-    longs, and no window ever scans a user's full history (a hot user
-    with 10^6 events costs three filtered min-folds, not 10^6 window
-    rows; an event-pair formulation would cost 10^12).  Integer
-    epoch-micros end-to-end, so both engines agree bit-for-bit."""
+    user_id, the state per user is three longs, and no window ever
+    scans a user's full history (a hot user with 10^6 events costs
+    three filtered min-folds, not 10^6 window rows; an event-pair
+    formulation would cost 10^12).  The per-step frames v and c are
+    tiny (one row per qualifying user) but feed MULTIPLE consumers
+    (the next step AND the final join) — Spark shares no common
+    subtrees without an explicit cache, and the .explain audit showed
+    v recomputed three times (12 events scans) uncached; persisting
+    both cuts the plan to one scan per step.  Integer epoch-micros
+    end-to-end, so both engines agree bit-for-bit."""
     e = _t(spark, sf, "events")
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -1019,6 +1024,7 @@ def win_funnel_steps(spark, sf):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("view_us"))
+        .persist()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1026,6 +1032,7 @@ def win_funnel_steps(spark, sf):
         .filter(F.col("us") > F.col("view_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("click_us"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1034,7 +1041,7 @@ def win_funnel_steps(spark, sf):
         .groupBy("user_id")
         .agg(F.min("us").alias("purchase_us"))
     )
-    return (
+    out = (
         v.join(c, "user_id", "left")
         .join(p, "user_id", "left")
         .select(
@@ -1050,7 +1057,11 @@ def win_funnel_steps(spark, sf):
             .cast("bigint")
             .alias("reached"),
         )
+        .localCheckpoint(eager=True)
     )
+    v.unpersist()
+    c.unpersist()
+    return out
 
 
 def docs_tfidf(spark, sf):
