@@ -88,7 +88,7 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 103 registered keys, so the registry is ordered
+# the first 50 of the 104 registered keys, so the registry is ordered
 # by evidence value each round (VERDICT r2 item 5).  Round 3 leads with
 # (1) the 9 keys that have no r02 row (they rotated out of the r02
 # window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
@@ -171,13 +171,14 @@ _R4_QUEUE = (
     "win_funnel_steps",
     "dedup_cc_minhash",
     "join_full_outer",
+    "sink_compact_files",
 )
 
-# Registry arithmetic at round-3 close: 103 keys total = the 50
+# Registry arithmetic at round-3 close: 104 keys total = the 50
 # _FIRST_KEYS (which exactly fill the driver's 50-row window: r3 added
 # 17 keys in the main session, 13 in the first continuation, 4 in the
-# second, plus the r01-rotation debts and r3-modified keys), the 6
-# _R4_QUEUE keys at positions 51-56, the 43 _LAST_FULL_KEYS below, and
+# second, plus the r01-rotation debts and r3-modified keys), the 7
+# _R4_QUEUE keys at positions 51-57, the 43 _LAST_FULL_KEYS below, and
 # 4 unpinned rows-only keys that sort last (doc_fingerprint,
 # multimodal_decode, crawl_url_canonicalize, crawl_decode_phash).
 # Every key outside the window except the _R4_QUEUE carries an r02

@@ -896,6 +896,44 @@ def sink_partitioned(spark, sf):
     )
 
 
+COMPACT_FRAGMENT_N = 64
+COMPACT_TARGET_N = 4
+
+
+def sink_compact_files(spark, sf):
+    """Small-file compaction — the operational chore every wave-append
+    sink accumulates: a crawl writing P files per wave leaves
+    thousands of KB-sized parquet files whose per-file open/footer
+    cost eventually dominates scans.  Simulate the fragmented state
+    (repartition(64) write), then compact by rewriting with
+    repartition(4) — at 100 TB the target count comes from
+    bytes/target_file_size and the rewrite goes partition-by-partition
+    behind the same atomic-rename commit discipline as the engine's
+    sinks.  Returns the compacted read-back's row count + DECIMAL-exact
+    value checksum, which is exactly what the bloom-free SQL oracle
+    computes from the source table: compaction must be value-invisible.
+    File-count reduction itself is pinned in pytest (no SQL can see
+    the filesystem)."""
+    frag = _scratch_dir("frag", sf)
+    compact = _scratch_dir("compact", sf)
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o.repartition(COMPACT_FRAGMENT_N).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(COMPACT_TARGET_N).write.mode(
+        "overwrite"
+    ).parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 def source_csv_roundtrip(spark, sf):
     """CSV source/sink: write a dimension slice to headered CSV, read
     it back with an explicit schema (never inferSchema — a second scan
@@ -1706,6 +1744,13 @@ SQL: dict[str, str | None] = {
     "source_orc_roundtrip": (
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
     ),
+    # compaction must be value-invisible: the checksum off the source
+    "sink_compact_files": (
+        "SELECT count(*)::BIGINT AS n_rows, "
+        "sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price, "
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+        "FROM orders"
+    ),
     # same lag-gap + cumsum formulation as stream_session's oracle,
     # integer epoch-micros end-to-end
     "win_sessionize_gap": (
@@ -2013,6 +2058,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_csv_roundtrip": source_csv_roundtrip,
     "source_json_roundtrip": source_json_roundtrip,
     "source_orc_roundtrip": source_orc_roundtrip,
+    "sink_compact_files": sink_compact_files,
     "win_sessionize_gap": win_sessionize_gap,
     "win_funnel_steps": win_funnel_steps,
     "docs_tfidf": docs_tfidf,

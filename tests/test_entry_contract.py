@@ -53,6 +53,7 @@ SUBSET = [
     "docs_tfidf",  # r4 queue: smoothed TF-IDF featurization
     "win_funnel_steps",  # r4 queue: ordered funnel via min-agg chain
     "join_full_outer",  # r4 queue: standalone full-outer taxonomy row
+    "sink_compact_files",  # r4 queue: small-file compaction checksum
 ]
 
 

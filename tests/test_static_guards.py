@@ -136,6 +136,42 @@ def test_politeness_window_is_salted(spark):
     assert "xxhash64" in plan.lower()
 
 
+def test_partitioned_sink_readback_prunes_partitions(spark):
+    """sink_partitioned's read-back filter must reach the scan as a
+    PartitionFilter (only the o_orderstatus=F directory is listed) —
+    the §4 'partition pruning' row made mechanical.  A plan where the
+    predicate runs post-scan reads every partition of a 100 TB sink."""
+    from spider_1_spark.relational.queries import sink_partitioned
+
+    plan = _plan(sink_partitioned(spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "o_orderstatus" in m.group(1), plan
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark):
+    """sink_compact_files: the compacted directory must hold far fewer
+    parquet files than the fragmented one (the part no SQL oracle can
+    see), with identical row counts."""
+    import glob
+
+    from spider_1_spark.relational.queries import (
+        COMPACT_FRAGMENT_N,
+        COMPACT_TARGET_N,
+        _scratch_dir,
+        sink_compact_files,
+    )
+
+    out = sink_compact_files(spark, SF).collect()[0]
+    n_frag = len(glob.glob(_scratch_dir("frag", SF) + "/part-*.parquet"))
+    n_comp = len(glob.glob(_scratch_dir("compact", SF) + "/part-*.parquet"))
+    assert n_frag == COMPACT_FRAGMENT_N
+    assert n_comp == COMPACT_TARGET_N
+    assert out.n_rows == spark.read.parquet(
+        f"{SF}/orders.parquet"
+    ).count()
+
+
 def test_salted_join_shuffles_instead_of_broadcasting(spark):
     """join_skew_salted's shuffle_hash hint must hold: if AQE/Catalyst
     broadcasts the replicated dim side, the salted exchange the key
