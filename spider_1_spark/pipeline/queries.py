@@ -1077,12 +1077,21 @@ def emb_quantize_int8(spark, sf):
     scale = 127 / max|x|, codes = round(x * scale) ∈ [-127, 127].
 
     Scale shape: pure per-row array math (transform / array_max inside
-    codegen) — no shuffle, no UDF, no state; at 100 TB this runs at
-    scan speed.  The arithmetic is IEEE-double on both engines so the
-    DuckDB oracle matches code-for-code (verified bit-exact over the
-    full fixture); all-zero vectors degrade to scale 0 / zero codes
-    instead of dividing by zero.  The numpy reconstruction-error bound
-    (≤ 0.5/scale per coordinate) is pinned in pytest."""
+    codegen) plus a generator (posexplode) — no shuffle, no UDF, no
+    state; at 100 TB this runs at scan speed.  The arithmetic is
+    IEEE-double on both engines so the DuckDB oracle matches
+    code-for-code (verified bit-exact over the full fixture); all-zero
+    vectors degrade to scale 0 / zero codes instead of dividing by
+    zero.  The numpy reconstruction-error bound (≤ 0.5/scale per
+    coordinate) is pinned in pytest.
+
+    Result shape (r4): one row per (vec_id, pos) — the codes array is
+    EXPLODED rather than returned raw because the driver's
+    order-insensitive canonicalizer sorts every result column and a
+    list-valued column is unhashable in pandas (the r03 hard-fail;
+    VERDICT r3 item 1).  Same lesson as emb_centroid_per_label: any
+    full-oracle key must emit scalar top-level columns only — enforced
+    mechanically by tests/test_static_guards.py."""
     e = _emb(spark, sf)
     mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
     scale = F.when(mx > 0, 127.0 / mx).otherwise(F.lit(0.0))
@@ -1100,8 +1109,8 @@ def emb_quantize_int8(spark, sf):
         "vec_id",
         "label",
         scale.alias("scale"),
-        codes.alias("codes"),
-    )
+        F.posexplode(codes).alias("pos", "code"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 SHUFFLE_SHARDS = 8
@@ -2168,14 +2177,18 @@ PIPE_SQL: dict[str, str | None] = {
         f"row_number() OVER (PARTITION BY h % {SHUFFLE_SHARDS} "
         "ORDER BY h, doc_id) AS pos FROM t"
     ),
+    # exploded (vec_id, pos) grain — generate_subscripts and unnest of
+    # the same-length list align row-for-row in DuckDB, mirroring
+    # Spark's posexplode (pos is 0-based on both sides)
     "emb_quantize_int8": (
         "WITH m AS (SELECT vec_id, label, embedding, "
         "list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx "
         "FROM embeddings) "
         "SELECT vec_id, label, "
         "CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale, "
-        "list_transform(embedding, x -> CASE WHEN mx > 0 THEN "
-        "round(x::DOUBLE * (127.0 / mx))::INTEGER ELSE 0 END) AS codes "
+        "generate_subscripts(embedding, 1) - 1 AS pos, "
+        "unnest(list_transform(embedding, x -> CASE WHEN mx > 0 THEN "
+        "round(x::DOUBLE * (127.0 / mx))::INTEGER ELSE 0 END)) AS code "
         "FROM m"
     ),
     "sample_stratified": (

@@ -1072,33 +1072,37 @@ def win_funnel_steps(spark, sf):
         .agg(F.min("us").alias("click_us"))
         .persist()
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("us") > F.col("click_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("purchase_us"))
-    )
-    out = (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "view_us",
-            "click_us",
-            "purchase_us",
-            (
-                F.lit(1)
-                + F.col("click_us").isNotNull().cast("int")
-                + F.col("purchase_us").isNotNull().cast("int")
-            )
-            .cast("bigint")
-            .alias("reached"),
+    try:
+        p = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(c, "user_id")
+            .filter(F.col("us") > F.col("click_us"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("purchase_us"))
         )
-        .localCheckpoint(eager=True)
-    )
-    v.unpersist()
-    c.unpersist()
+        out = (
+            v.join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select(
+                "user_id",
+                "view_us",
+                "click_us",
+                "purchase_us",
+                (
+                    F.lit(1)
+                    + F.col("click_us").isNotNull().cast("int")
+                    + F.col("purchase_us").isNotNull().cast("int")
+                )
+                .cast("bigint")
+                .alias("reached"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # release even if materialization throws — a leaked cache
+        # lives for the session (ADVICE r3)
+        v.unpersist()
+        c.unpersist()
     return out
 
 
@@ -1138,27 +1142,31 @@ def docs_tfidf(spark, sf):
     # then materialize the small result and release the cache (the
     # module's standard session-lifetime discipline)
     toks = toks.persist()
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
-    nf = d.agg(F.count("*").alias("n"))
-    out = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(nf))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf")
-                * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
-                6,
-            ).alias("tfidf"),
+    try:
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        df = toks.groupBy("term").agg(
+            F.count_distinct("doc_id").alias("df")
         )
-    ).localCheckpoint(eager=True)
-    toks.unpersist()
+        nf = d.agg(F.count("*").alias("n"))
+        out = (
+            tf.join(df, "term")
+            .crossJoin(F.broadcast(nf))
+            .select(
+                "doc_id",
+                "term",
+                "tf",
+                "df",
+                F.round(
+                    F.col("tf")
+                    * (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0),
+                    6,
+                ).alias("tfidf"),
+            )
+        ).localCheckpoint(eager=True)
+    finally:
+        # release even if materialization throws — a leaked cache
+        # lives for the session (ADVICE r3)
+        toks.unpersist()
     return out
 
 
@@ -1486,9 +1494,14 @@ def bloom_prefilter(
     ``dim_keys[dim_key]`` — zero false negatives, bounded false
     positives (removed by the exact join the caller runs next).
     Returns ``(prefiltered_df, bitmap_broadcast)``: the caller owns
-    the broadcast and should ``destroy()`` it once the result is
+    the broadcast and should ``unpersist()`` it once the result is
     materialized — a long-lived session invoking this per query would
     otherwise accumulate one never-released broadcast per call.
+    ``unpersist()``, NOT ``destroy()``: localCheckpoint is
+    non-reliable, so on a real cluster a lost executor block forces
+    recomputation of the probe, which would fail on a destroyed
+    broadcast; unpersist frees executor copies but lets the driver
+    re-ship the value if lineage re-runs (ADVICE r3).
 
     Build: the dim side's bit positions are OR-ed into ONE partial
     bitmap per partition (mapInPandas, numpy), and the driver ORs the
@@ -1585,9 +1598,12 @@ def join_bloom_prefilter(spark, sf):
     )
     # materialize, then release the bitmap broadcast — one invocation
     # must not leave session-lifetime broadcast residue (the registry
-    # resource discipline every dedup op already follows)
-    out = out.localCheckpoint(eager=True)
-    bmp.destroy()
+    # resource discipline every dedup op already follows).  unpersist,
+    # not destroy: see bloom_prefilter's docstring (ADVICE r3)
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        bmp.unpersist()
     return out
 
 
@@ -1608,19 +1624,23 @@ def agg_hll_sketch(spark, sf):
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
     per.persist()
-    per_est = per.select(
-        "event_type",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
-    )
-    union = (
-        per.agg(F.hll_union_agg("sk").alias("u"))
-        .select(
-            F.lit("ALL").alias("event_type"),
-            F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+    try:
+        per_est = per.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
         )
-    )
-    out = per_est.unionByName(union).localCheckpoint(eager=True)
-    per.unpersist()
+        union = (
+            per.agg(F.hll_union_agg("sk").alias("u"))
+            .select(
+                F.lit("ALL").alias("event_type"),
+                F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+            )
+        )
+        out = per_est.unionByName(union).localCheckpoint(eager=True)
+    finally:
+        # release even if materialization throws — a leaked cache
+        # lives for the session (ADVICE r3)
+        per.unpersist()
     return out
 
 

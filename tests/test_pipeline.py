@@ -952,6 +952,23 @@ def test_corpus_shard_shuffle_matches_md5_oracle(spark, curation_dir):
         assert counts[s] == len(lst)
 
 
+def _collect_quantized(spark, sf_dir):
+    """Reassemble the exploded (vec_id, pos, code) rows back into
+    per-vector code arrays (the r4 result grain — VERDICT r3 item 1)."""
+    from spider_1_spark.pipeline.queries import emb_quantize_int8
+
+    out = {}
+    for r in emb_quantize_int8(spark, sf_dir).collect():
+        rec = out.setdefault(r.vec_id, {"scale": r.scale, "codes": {}})
+        assert rec["scale"] == r.scale  # scale constant within a vector
+        rec["codes"][r.pos] = r.code
+    for rec in out.values():
+        codes = rec["codes"]
+        assert sorted(codes) == list(range(len(codes)))  # pos dense, 0-based
+        rec["codes"] = [codes[i] for i in range(len(codes))]
+    return out
+
+
 def test_emb_quantize_int8_reconstruction_bound(spark, sf_dir):
     """Codes stay in [-127, 127], zero vectors degrade to scale 0, and
     dequantized values reconstruct the input within the symmetric-
@@ -960,22 +977,21 @@ def test_emb_quantize_int8_reconstruction_bound(spark, sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
 
-    from spider_1_spark.pipeline.queries import emb_quantize_int8
-
-    out = {r.vec_id: r for r in emb_quantize_int8(spark, sf_dir).collect()}
+    out = _collect_quantized(spark, sf_dir)
     raw = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
     assert len(out) == len(raw)
     for rec in raw:
         r = out[rec["vec_id"]]
         v = np.asarray(rec["embedding"], dtype=np.float64)
-        codes = np.asarray(r.codes, dtype=np.int64)
+        codes = np.asarray(r["codes"], dtype=np.int64)
+        assert len(codes) == len(v)
         assert codes.min() >= -127 and codes.max() <= 127
         if not np.any(v):
-            assert r.scale == 0.0 and not codes.any()
+            assert r["scale"] == 0.0 and not codes.any()
             continue
-        assert r.scale > 0
-        err = np.abs(v - codes / r.scale)
-        assert err.max() <= 0.5 / r.scale + 1e-9
+        assert r["scale"] > 0
+        err = np.abs(v - codes / r["scale"])
+        assert err.max() <= 0.5 / r["scale"] + 1e-9
 
 
 def test_emb_quantize_int8_zero_and_large_vectors(spark):
@@ -987,8 +1003,6 @@ def test_emb_quantize_int8_zero_and_large_vectors(spark):
     import shutil
     import tempfile
 
-    from spider_1_spark.pipeline.queries import emb_quantize_int8
-
     rows = [
         (0, [0.0] * 4, 0),
         (1, [1.0e12, -5.0e11, 0.0, 2.5e11], 1),
@@ -999,23 +1013,23 @@ def test_emb_quantize_int8_zero_and_large_vectors(spark):
         spark.createDataFrame(
             rows, "vec_id long, embedding array<float>, label int"
         ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
-        got = {r.vec_id: r for r in emb_quantize_int8(spark, tmp).collect()}
+        got = _collect_quantized(spark, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    assert got[0].scale == 0.0 and list(got[0].codes) == [0, 0, 0, 0]
+    assert got[0]["scale"] == 0.0 and got[0]["codes"] == [0, 0, 0, 0]
     big = got[1]
     # -5e11/1e12 lands exactly on the .5 rounding boundary in reals,
     # so that code is pinned only through the dequant bound below
-    assert big.scale > 0
-    assert big.codes[0] == 127 and big.codes[2] == 0
+    assert big["scale"] > 0
+    assert big["codes"][0] == 127 and big["codes"][2] == 0
     # dequantization round-trips within the bound even at 1e12 scale
     # (compare against the float32-stored values; -5e11/1e12 sits ON
     # the .5 tie, so the bound is met with relative slack only)
     import numpy as np
 
-    for v, c in zip(np.asarray(rows[1][1], dtype=np.float32), big.codes):
-        assert abs(float(v) - c / big.scale) <= 0.5 / big.scale * (1 + 1e-6)
-    assert list(got[2].codes) == [64, -32, 16, -127]
+    for v, c in zip(np.asarray(rows[1][1], dtype=np.float32), big["codes"]):
+        assert abs(float(v) - c / big["scale"]) <= 0.5 / big["scale"] * (1 + 1e-6)
+    assert got[2]["codes"] == [64, -32, 16, -127]
 
 
 def test_length_histogram_totals(spark, curation_dir):

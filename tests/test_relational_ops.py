@@ -90,7 +90,7 @@ def test_bloom_prefilter_zero_false_negatives_and_prunes(spark):
     )
     pre, bmp = bloom_prefilter(spark, fact, "fk", dim, "dk")
     kept = {r.fk for r in pre.collect()}
-    bmp.destroy()
+    bmp.unpersist()
     true_matches = set(range(0, 20_000, 97))
     assert true_matches <= kept, "bloom dropped a true match"
     # 207 true keys in a 2^20-bit bloom: FP rate is tiny — the
@@ -105,7 +105,7 @@ def test_bloom_prefilter_empty_dim_drops_everything(spark):
     dim = spark.createDataFrame([], "dk long")
     pre, bmp = bloom_prefilter(spark, fact, "fk", dim, "dk")
     assert pre.count() == 0
-    bmp.destroy()
+    bmp.unpersist()
 
 
 def test_bloom_prefilter_rejects_mismatched_key_types(spark):

@@ -202,3 +202,40 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "SortMergeJoin" in plan, plan
     finally:
         drop()
+
+
+def test_full_oracle_keys_return_scalar_columns_only():
+    """Driver-proofing for the r03 `emb_quantize_int8` failure class
+    (VERDICT r3 items 1/6): the driver's order-insensitive result
+    canonicalizer pandas-sorts every top-level column, and a list- or
+    map-valued column is unhashable there — the row errors before any
+    comparison, which the contract counts as a hard FAIL.  So every
+    FULL-oracle key must emit scalar top-level columns only (explode
+    arrays to rows, as emb_centroid_per_label / emb_quantize_int8 do).
+
+    Checked via DuckDB `DESCRIBE <oracle_sql>` — pure type inference,
+    no execution, and by the column-parity contract the oracle's
+    columns mirror the Spark result's.  Rows-only keys (no oracle
+    SQL) never reach the canonicalizer and are out of scope."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"parquet_scan('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    offenders = []
+    for key, sql in entrymod.oracle_sql().items():
+        for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            if "[]" in typ or typ.startswith(("MAP(", "STRUCT(", "LIST")):
+                offenders.append(f"{key}.{name}: {typ}")
+    assert not offenders, (
+        "full-oracle keys with non-scalar top-level columns (the "
+        "driver canonicalizer cannot hash these):\n" + "\n".join(offenders)
+    )
