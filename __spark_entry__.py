@@ -113,6 +113,13 @@ _FIRST_KEYS = (
     "emb_quantize_int8",
     "join_bloom_prefilter",
     "agg_hll_sketch",
+    # (3) new in round 4:
+    "timeseries_gapfill",
+    "intervals_coverage",
+    "cohort_retention",
+    "agg_mode_per_group",
+    "stream_dedup_watermark",
+    "text_jaccard_pairs",
     # (4) re-proofs: r02-evidence full-oracle keys, oldest first by
     # structural value (the three simplest — set_union_dedup,
     # set_except, limit_global — stay outside on their r02 rows):
@@ -149,13 +156,7 @@ _FIRST_KEYS = (
     "sort_key",
     "scan_parquet",
     "scan_projection_pushdown",
-    "project_expr",
     "filter_pred",
-    "str_fns",
-    "date_fns",
-    "math_fns",
-    "cond_fns",
-    "set_intersect",
 )
 
 # Keys implemented after the current round's window filled (none right
@@ -173,6 +174,12 @@ _R4_QUEUE: tuple[str, ...] = ()
 # spends itself on no-row > modified > new > stalest-evidence keys in
 # that order.
 _LAST_FULL_KEYS = (
+    "project_expr",
+    "str_fns",
+    "date_fns",
+    "math_fns",
+    "cond_fns",
+    "set_intersect",
     "set_union_dedup",
     "set_except",
     "limit_global",

@@ -40,6 +40,9 @@ def run(tree: str, cpus: int, n_rows: int, payload: str) -> dict:
         PYTHONPATH=tree,
         # interleaving across variants IS this harness's rep scheme
         SPARK_GRAFT_BENCH_CRAWL_REPS="1",
+        # parity legs only need the crawl number; the relational batch
+        # would add a second SparkContext per leg for nothing
+        SPARK_GRAFT_BENCH_SKIP_REL="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(tree, "bench.py")],

@@ -2024,9 +2024,57 @@ def _cc_sql() -> str:
     )
 
 
+TEXT_JACCARD_SLICE = 30  # docs in the exact pairwise slice
+
+
+def text_jaccard_pairs(spark, sf):
+    """EXACT pairwise word-set Jaccard over a bounded document slice —
+    the ground-truth complement to the rows-only LSH dedup keys
+    (dedup_minhash_lsh / dedup_ngram_jaccard approximate exactly this
+    quantity): every pair in the slice gets its true similarity, fully
+    SQL-checkable, so the driver holds a value-exact oracle for the
+    similarity arithmetic the approximate keys build on.
+
+    Scale shape: this is by design a BOUNDED baseline — the slice is
+    capped at TEXT_JACCARD_SLICE docs (≤ n·(n−1)/2 pairs), the token
+    sets live in-array (array_distinct of the module's standard
+    whitespace split, same class as docs_tfidf so Java and RE2 \\s
+    divergence can't bite), and the self-join broadcasts the tiny
+    slice — at 100 TB the UNBOUNDED version of this query is exactly
+    what the LSH keys exist to avoid (their caps + dropped-bucket
+    reports are the scale path; this key is their truth set).
+    |a∪b| is computed as |a|+|b|−|a∩b| on BOTH engines rather than via
+    a union function, so set-size semantics cannot diverge."""
+    d = _docs(spark, sf).filter(F.col("doc_id") < TEXT_JACCARD_SLICE)
+    toks = F.array_distinct(
+        F.filter(
+            F.split("text", r"[ \t\n\r\f\x0B]+"), lambda x: x != ""
+        )
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    ni = F.size(F.array_intersect("ta", "tb"))
+    denom = F.size("ta") + F.size("tb") - ni
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        ni.cast("bigint").alias("n_common"),
+        F.when(denom > 0, F.round(ni / denom, 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
 # ------------------------------------------------------------- registries
 
 PIPE_FNS = {
+    "text_jaccard_pairs": text_jaccard_pairs,
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_keep_best": dedup_keep_best,
@@ -2063,6 +2111,23 @@ PIPE_FNS = {
 }
 
 PIPE_SQL: dict[str, str | None] = {
+    # same whitespace class as docs_tfidf; |a∪b| = |a|+|b|−|a∩b| on
+    # both engines (list_intersect and array_intersect both return
+    # distinct elements)
+    "text_jaccard_pairs": (
+        "WITH t AS (SELECT doc_id, list_distinct(list_filter("
+        "string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'), "
+        "x -> x <> '')) AS toks FROM documents "
+        f"WHERE doc_id < {TEXT_JACCARD_SLICE}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "len(list_intersect(a.toks, b.toks))::BIGINT AS n_common, "
+        "CASE WHEN len(a.toks) + len(b.toks) "
+        "- len(list_intersect(a.toks, b.toks)) > 0 THEN "
+        "round(len(list_intersect(a.toks, b.toks)) / (len(a.toks) "
+        "+ len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) "
+        "ELSE 0.0 END AS jaccard "
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id"
+    ),
     "dedup_exact": (
         "SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies "
         "FROM documents GROUP BY text"

@@ -1644,6 +1644,246 @@ def agg_hll_sketch(spark, sf):
     return out
 
 
+def timeseries_gapfill(spark, sf):
+    """Dense date-spine gap fill — the dashboard/feature-store staple:
+    per-(event_type, day) counts re-joined onto a COMPLETE day spine
+    so silent days emit explicit zeros instead of missing rows (a
+    downstream moving average over a sparse frame is simply wrong).
+
+    Scale shape: the heavy work is ONE map-side-combined hash agg over
+    raw events; the spine is O(types × days) — generated JVM-side with
+    sequence()+explode from a 1-row min/max agg (no driver collect, no
+    Python) and broadcast into the fill join, so the gap fill itself
+    never shuffles the aggregated frame.  Days are integer epoch-days
+    (floor of epoch-micros / 86.4e9) end-to-end, so both engines agree
+    bit-for-bit with no date/tz round-trip."""
+    e = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    d = e.select(
+        "event_type",
+        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    counts = d.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    days = (
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    spine = d.select("event_type").distinct().crossJoin(F.broadcast(days))
+    return (
+        F.broadcast(spine)
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+def intervals_coverage(spark, sf):
+    """Interval union (merge-overlaps) per key — the classic
+    islands-and-gaps problem behind uptime/SLA coverage, ad-break
+    stitching and visit-span analytics: each event opens an interval
+    [start, start+dur); per user, overlapping intervals merge into
+    islands and the answer is how many islands there are and how much
+    time they cover (NOT sum(dur) — overlaps must not double-count).
+
+    The interval length is a pure integer function of event_id
+    ((event_id % 7200 + 60) seconds), so both engines derive identical
+    intervals from the shared fixture with no RNG.  Scale shape: the
+    standard two-window stack — running max(end) over preceding rows
+    flags island starts, a running sum numbers them — plus one hash
+    agg, ALL partitioned by user_id: one shuffle total, O(events per
+    user · log) per key, no pair blowup (the naive overlap self-join
+    is O(n²) per user).  Tiebreak on (start, event_id) keeps island
+    numbering deterministic under duplicate starts; integer
+    epoch-micros end-to-end."""
+    e = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = e.select(
+        "user_id",
+        "event_id",
+        us.alias("start_us"),
+        (us + ((F.col("event_id") % 7200 + 60) * F.lit(1_000_000)))
+        .alias("end_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max = F.max("end_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_i",
+        F.when(
+            prev_max.isNull() | (F.col("start_us") > prev_max), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_i").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("n_iv"),
+        (F.max("end_us") - F.min("start_us")).alias("covered"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count("*").alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("covered_us"),
+    )
+
+
+def cohort_retention(spark, sf):
+    """Cohort retention triangle — the growth-analytics fixture: users
+    bucketed by first-seen week (their cohort), activity counted per
+    (cohort, weeks-since-first-seen) cell.  Week = integer epoch-week
+    (epoch-micros / 604.8e9 floored), so both engines agree exactly.
+
+    Scale shape: two map-side-combined hash aggs (per-user first week;
+    the final cell rollup) bridged by ONE user_id-keyed join — the
+    activity frame is already partitioned by user_id from the first
+    agg, so the join reuses that exchange; per-cell distinct users is
+    the only count_distinct and it runs on the post-join frame keyed
+    by the (small) cell space.  No window over raw history, no pair
+    blowup, state per user is one long."""
+    e = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    wk = e.select(
+        "user_id",
+        F.floor(us / F.lit(604_800_000_000)).cast("long").alias("week"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def agg_mode_per_group(spark, sf):
+    """Per-group mode (most frequent value) with a deterministic
+    tiebreak — the categorical summarizer GROUP BY can't express
+    directly: each user's most common event_type, ties broken by the
+    lexicographically smallest type so the result is unique.
+
+    Scale shape: ONE map-side-combined hash agg collapses raw events
+    to (user, type, cnt) — at most |types| rows per user — then the
+    row_number window ranks only that tiny aggregated frame (never raw
+    history) on the same user_id partitioning: one shuffle, reused.
+    The (cnt DESC, type ASC) ordering is total, so rank 1 is unique —
+    max_by would tie-break nondeterministically."""
+    e = _t(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("n_events"),
+        )
+    )
+
+
+def _stream_dup_src_dir(sf: str, copies: int = 3) -> str:
+    """Stage the events fixture N times into one source directory —
+    the duplicate-injection fixture for streaming dedup (each copy is
+    byte-identical, so every event_id arrives `copies` times).  Same
+    race-safe first-writer-wins rename as _stream_src_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src_file = os.path.abspath(f"{sf}/events.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_mtime_ns}:{st.st_size}:dup{copies}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spider1_sdup_{key}")
+    if not os.path.isdir(path):
+        staging = path + "." + uuid.uuid4().hex[:8]
+        os.makedirs(staging)
+        for i in range(copies):
+            shutil.copy(src_file, os.path.join(staging, f"dup{i}.parquet"))
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def stream_dedup_watermark(spark, sf):
+    """SURVEY §2B streaming taxonomy: native streaming DEDUPLICATION —
+    ``dropDuplicatesWithinWatermark`` over a source with every event
+    injected three times (byte-identical copies), i.e. the at-least-
+    once-delivery shape every real ingest pipeline has.  The watermark
+    bounds the dedup state store (keys older than max-event-time − 1 h
+    are evicted), which is what makes streaming dedup viable at all —
+    unbounded dropDuplicates state grows forever on a 10^10-row feed.
+
+    Duplicates here carry IDENTICAL event times, so they always fall
+    within the watermark delay of each other and dedup is guaranteed
+    regardless of micro-batch splits — the kept copy is arbitrary but
+    byte-identical, so the post-dedup per-type aggregate (run in BATCH
+    over the drained memory sink) is deterministic and equals the
+    plain aggregate over the un-duplicated base table, which is the
+    SQL oracle (event_id is unique in the fixture).  Event time is
+    NTZ wall clock → pure-arithmetic micros (the module's standard
+    tz-independence discipline)."""
+    import uuid
+
+    path = _stream_dup_src_dir(sf)
+    schema = spark.read.parquet(path).schema
+    ev = F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    )
+    name = "sdedup_" + uuid.uuid4().hex[:12]
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ev", ev)
+        .withWatermark("ev", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+        .localCheckpoint(eager=True)  # then drop the memory sink
+    )
+    spark.catalog.dropTempView(name)
+    return out
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
@@ -2071,6 +2311,73 @@ SQL: dict[str, str | None] = {
         "SELECT user_id, min(ts) AS session_start, "
         "count(*)::BIGINT AS n_events FROM s GROUP BY user_id, sid"
     ),
+    # integer epoch-days on both sides; generate_series is inclusive
+    # of both bounds, matching Spark's sequence()
+    "timeseries_gapfill": (
+        "WITH d AS (SELECT event_type, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d), "
+        "spine AS (SELECT t.event_type, g.day FROM "
+        "(SELECT DISTINCT event_type FROM d) t CROSS JOIN "
+        "(SELECT unnest(generate_series((SELECT d0 FROM b), "
+        "(SELECT d1 FROM b))) AS day) g), "
+        "c AS (SELECT event_type, day, count(*) AS n FROM d "
+        "GROUP BY event_type, day) "
+        "SELECT s.event_type, s.day, coalesce(c.n, 0)::BIGINT AS n "
+        "FROM spine s LEFT JOIN c "
+        "ON s.event_type = c.event_type AND s.day = c.day"
+    ),
+    # interval length is a pure function of event_id (no RNG); merge
+    # condition start > max(end) over preceding rows, ties on
+    # (start_us, event_id) — identical window stack to the Spark plan
+    "intervals_coverage": (
+        "WITH iv AS (SELECT user_id, event_id, "
+        "epoch_us(ts) AS start_us, "
+        "epoch_us(ts) + (event_id % 7200 + 60) * 1000000 AS end_us "
+        "FROM events), "
+        "g AS (SELECT user_id, event_id, start_us, end_us, CASE WHEN "
+        "max(end_us) OVER w IS NULL OR start_us > max(end_us) OVER w "
+        "THEN 1 ELSE 0 END AS new_i FROM iv WINDOW w AS ("
+        "PARTITION BY user_id ORDER BY start_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "s AS (SELECT user_id, start_us, end_us, sum(new_i) OVER ("
+        "PARTITION BY user_id ORDER BY start_us, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS island FROM g), "
+        "p AS (SELECT user_id, island, count(*) AS n_iv, "
+        "max(end_us) - min(start_us) AS covered FROM s "
+        "GROUP BY user_id, island) "
+        "SELECT user_id, sum(n_iv)::BIGINT AS n_intervals, "
+        "count(*)::BIGINT AS n_islands, "
+        "sum(covered)::BIGINT AS covered_us FROM p GROUP BY user_id"
+    ),
+    "cohort_retention": (
+        "WITH wk AS (SELECT user_id, "
+        "epoch_us(ts) // 604800000000 AS week FROM events), "
+        "f AS (SELECT user_id, min(week) AS cohort_week FROM wk "
+        "GROUP BY user_id) "
+        "SELECT f.cohort_week, wk.week - f.cohort_week AS week_offset, "
+        "count(DISTINCT wk.user_id)::BIGINT AS n_users, "
+        "count(*)::BIGINT AS n_events "
+        "FROM wk JOIN f ON wk.user_id = f.user_id "
+        "GROUP BY f.cohort_week, week_offset"
+    ),
+    "agg_mode_per_group": (
+        "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+        "FROM events GROUP BY user_id, event_type), "
+        "r AS (SELECT user_id, event_type, cnt, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn "
+        "FROM c) "
+        "SELECT user_id, event_type AS mode_event_type, "
+        "cnt::BIGINT AS n_events FROM r WHERE rn = 1"
+    ),
+    # the Spark side deduplicates 3 injected byte-identical copies per
+    # event_id; the oracle aggregates the un-duplicated base table
+    # (event_id is unique in the fixture)
+    "stream_dedup_watermark": (
+        "SELECT event_type, count(*)::BIGINT AS n, "
+        "count(DISTINCT user_id)::BIGINT AS n_users, "
+        "round(sum(value), 4) AS sum_v FROM events GROUP BY event_type"
+    ),
 }
 
 FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2138,6 +2445,11 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_via_applyInPandas": udaf_via_applyInPandas,
     "udtf_lateral_tokens": udtf_lateral_tokens,
     "stream_stateful_first_seen": stream_stateful_first_seen,
+    "stream_dedup_watermark": stream_dedup_watermark,
+    "timeseries_gapfill": timeseries_gapfill,
+    "intervals_coverage": intervals_coverage,
+    "cohort_retention": cohort_retention,
+    "agg_mode_per_group": agg_mode_per_group,
     "stream_tumbling_1h": stream_tumbling_1h,
     "stream_watermark_late": stream_watermark_late,
     "stream_sliding": stream_sliding,

@@ -55,6 +55,12 @@ SUBSET = [
     "join_full_outer",  # r4 queue: standalone full-outer taxonomy row
     "sink_compact_files",  # r4 queue: small-file compaction checksum
     "emb_quantize_int8",  # r4: exploded scalar-grain result (r03 fix)
+    "timeseries_gapfill",  # r4: dense date-spine zero fill
+    "intervals_coverage",  # r4: per-key interval union (islands)
+    "cohort_retention",  # r4: first-seen-week cohort triangle
+    "agg_mode_per_group",  # r4: deterministic per-group mode
+    "stream_dedup_watermark",  # r4: native streaming dedup, 3x dups
+    "text_jaccard_pairs",  # r4: exact pairwise Jaccard truth set
 ]
 
 

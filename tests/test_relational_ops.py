@@ -154,3 +154,102 @@ def test_hll_sketch_estimate_bounds_and_merge_consistency(spark):
     ).collect()[0]["est"]
     assert merged_est == direct_est
     assert abs(merged_est - 40_000) / 40_000 < 0.05
+
+
+def test_intervals_coverage_matches_bruteforce(spark, tmp_path):
+    """intervals_coverage vs a brute-force per-user sweep over an
+    engineered fixture with every regime: nested intervals, chained
+    overlaps, exact-touch boundaries (start == prev end merges), and
+    isolated points — the window-stack must reproduce the exact
+    island count and covered micros."""
+    import datetime as dt
+
+    from spider_1_spark.relational.queries import intervals_coverage
+
+    epoch = dt.datetime(1970, 1, 1)
+    rows = []
+    # (user, event_id, start_seconds); dur_s = event_id % 7200 + 60
+    cases = [
+        (1, 7140, 0),      # dur 7200s: [0, 7200)
+        (1, 1, 100),       # dur 61s: nested inside the first
+        (1, 7200, 7260),   # dur 60s: starts exactly at 7200+60? ->
+        (1, 30, 20000),    # isolated
+        (2, 120, 0),       # chain: [0,180)
+        (2, 110, 180),     # start == prev end -> merges (<= rule)
+        (2, 50, 500),      # isolated
+    ]
+    for u, eid, start_s in cases:
+        rows.append(
+            (eid, epoch + dt.timedelta(seconds=start_s), u, "view", 0.0,
+             "{}")
+        )
+    path = str(tmp_path / "iv")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(f"{path}/events.parquet")
+    got = {
+        r.user_id: (r.n_intervals, r.n_islands, r.covered_us)
+        for r in intervals_coverage(spark, path).collect()
+    }
+
+    def brute(ivs):
+        ivs = sorted(ivs)
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        return (
+            len(ivs), len(islands), sum(e - s for s, e in islands)
+        )
+
+    per_user: dict[int, list] = {}
+    for u, eid, start_s in cases:
+        s = start_s * 1_000_000
+        per_user.setdefault(u, []).append(
+            (s, s + (eid % 7200 + 60) * 1_000_000)
+        )
+    assert got == {u: brute(ivs) for u, ivs in per_user.items()}
+
+
+def test_timeseries_gapfill_spine_is_dense_and_zero_filled(spark):
+    """Every (event_type, day) cell in the global [min, max] day range
+    must be present exactly once, silent days as explicit zeros, and
+    the filled counts must sum back to the raw event count."""
+    from spider_1_spark.relational.queries import timeseries_gapfill
+
+    sf = "/root/testdata/sf0.001"
+    rows = timeseries_gapfill(spark, sf).collect()
+    days = {r.day for r in rows}
+    types = {r.event_type for r in rows}
+    assert days == set(range(min(days), max(days) + 1))
+    assert len(rows) == len(days) * len(types)  # dense, no dup cells
+    assert any(r.n == 0 for r in rows) or len(days) * len(types) == sum(
+        1 for r in rows if r.n > 0
+    )
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r.n for r in rows) == n_events
+
+
+def test_stream_dedup_actually_sees_triplicated_source(spark):
+    """The dedup key's evidence depends on the source really carrying
+    3 byte-identical copies per event: pin the staging fixture (3
+    files, 3x base rows) and that the deduped aggregate sums back to
+    the BASE count, not the inflated one."""
+    import glob
+
+    from spider_1_spark.relational.queries import (
+        _stream_dup_src_dir,
+        stream_dedup_watermark,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = _stream_dup_src_dir(sf)
+    assert len(glob.glob(path + "/*.parquet")) == 3
+    base = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert spark.read.parquet(path).count() == 3 * base
+    out = stream_dedup_watermark(spark, sf).collect()
+    assert sum(r.n for r in out) == base
