@@ -120,6 +120,9 @@ _FIRST_KEYS = (
     "agg_mode_per_group",
     "stream_dedup_watermark",
     "text_jaccard_pairs",
+    "corpus_pack_sequences",
+    "stream_foreach_batch_upsert",
+    "docs_quantiles_approx",
     # (4) re-proofs: r02-evidence full-oracle keys, oldest first by
     # structural value (the three simplest — set_union_dedup,
     # set_except, limit_global — stay outside on their r02 rows):
@@ -154,9 +157,6 @@ _FIRST_KEYS = (
     "win_lag_lead",
     "win_rank_dense",
     "sort_key",
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "filter_pred",
 )
 
 # Keys implemented after the current round's window filled (none right
@@ -174,6 +174,9 @@ _R4_QUEUE: tuple[str, ...] = ()
 # spends itself on no-row > modified > new > stalest-evidence keys in
 # that order.
 _LAST_FULL_KEYS = (
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "filter_pred",
     "project_expr",
     "str_fns",
     "date_fns",

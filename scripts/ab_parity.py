@@ -13,8 +13,12 @@ Pin the baseline tree first (gitignored scratch, delete at round
 close):  git worktree add .bench_eng/ceb ceb72b1
 
 Usage: python scripts/ab_parity.py [reps=2] [n_rows=100000000] \
-           [cpus=16] [payload=none]
-Appends one line per leg to BENCH/ab_parity_<rows>_<cpus>c.log.
+           [cpus=16] [payload=none] [base_name=ceb] [base_tree=.bench_eng/ceb]
+Appends one line per leg to BENCH/ab_parity_<rows>_<cpus>c[_<payload>].log.
+The baseline variant defaults to the §3g criterion engine pinned at
+`.bench_eng/ceb`; pass a name + worktree path to A/B against any other
+pinned commit (e.g. the round-2 close for headline-vs-headline
+questions).
 """
 
 from __future__ import annotations
@@ -25,10 +29,6 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-VARIANTS = [
-    ("head", REPO),
-    ("ceb", os.path.join(REPO, ".bench_eng", "ceb")),
-]
 
 
 def run(tree: str, cpus: int, n_rows: int, payload: str) -> dict:
@@ -65,10 +65,20 @@ def main() -> None:
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     payload = sys.argv[4] if len(sys.argv) > 4 else "none"
-    log = os.path.join(REPO, "BENCH", f"ab_parity_{n_rows}_{cpus}c.log")
+    base_name = sys.argv[5] if len(sys.argv) > 5 else "ceb"
+    base_tree = (
+        sys.argv[6]
+        if len(sys.argv) > 6
+        else os.path.join(REPO, ".bench_eng", "ceb")
+    )
+    variants = [("head", REPO), (base_name, base_tree)]
+    suffix = "" if payload == "none" else f"_{payload}"
+    log = os.path.join(
+        REPO, "BENCH", f"ab_parity_{n_rows}_{cpus}c{suffix}.log"
+    )
     with open(log, "a") as f:
         for rep in range(1, reps + 1):
-            for name, tree in VARIANTS:
+            for name, tree in variants:
                 r = run(tree, cpus, n_rows, payload)
                 line = (
                     f"{name} rep{rep}: {r['value']} urls/s "

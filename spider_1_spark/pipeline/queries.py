@@ -2024,6 +2024,105 @@ def _cc_sql() -> str:
     )
 
 
+PACK_SHARDS = 8  # packing shards (at 100 TB: corpus / shard-target)
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+
+def corpus_pack_sequences(spark, sf):
+    """GPT-style sequence packing — the last tokenizer-side step of
+    training-data prep: concatenate documents in a deterministic
+    pseudorandom order and chunk the token stream into fixed
+    PACK_BUDGET-token blocks, recording where each document lands
+    (its start offset and the first/last block it touches).  Trainers
+    then stream blocks; documents straddling a boundary are split
+    across consecutive blocks — the standard concatenate-then-chunk
+    regime.
+
+    Determinism + scale shape: docs are sharded by md5(doc_id) mod K
+    and ordered by (md5-prefix, doc_id) WITHIN each shard — the same
+    parallelism-invariant pure-function-of-key discipline as
+    corpus_shard_shuffle, so the packing is identical on 4 cores or
+    4000 executors.  The running token offset is a per-SHARD window
+    (never a global single-partition window — the thing that dies at
+    10^10 docs); K is sized so a shard's token stream fits a task.
+    Token counts are the module's standard whitespace-class split, so
+    both engines count identically."""
+    d = _docs(spark, sf)
+    n_tok = F.size(
+        F.filter(
+            F.split("text", r"[ \t\n\r\f\x0B]+"), lambda x: x != ""
+        )
+    ).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        h.alias("h"),
+        (h % PACK_SHARDS).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    packed = t.withColumn(
+        "start_tok",
+        F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col("n_tok"),
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        "start_tok",
+        F.floor(F.col("start_tok") / PACK_BUDGET)
+        .cast("long")
+        .alias("first_block"),
+        F.floor(
+            (F.col("start_tok") + F.greatest("n_tok", F.lit(1)) - 1)
+            / PACK_BUDGET
+        )
+        .cast("long")
+        .alias("last_block"),
+    )
+
+
+_QA_ACCURACY = 10_000  # GK sketch accuracy: rank error <= n / accuracy
+
+
+def docs_quantiles_approx(spark, sf):
+    """Sketch-based per-language length quantiles via
+    ``percentile_approx`` — the scale path next to docs_quantiles'
+    exact histogram-CDF: the Greenwald-Khanna sketch is partial-
+    aggregable (map-side combine, mergeable across partitions), costs
+    O(accuracy) state per group regardless of row count, and bounds
+    RANK error at n / accuracy — the right tool when the column is
+    continuous or the distinct-value histogram itself is too wide.
+
+    rows-only at the driver: the sketch's chosen order statistic is
+    implementation-specific (DuckDB's approx_quantile uses t-digest —
+    a different sketch with a different answer), so there is no
+    cross-engine value oracle; pytest instead pins the CONTRACT —
+    every approximate value is a real order statistic of its group
+    whose rank is within n/accuracy of the exact target rank
+    (tests/test_pipeline.py)."""
+    d = _docs(spark, sf)
+    qs = d.groupBy("lang").agg(
+        F.percentile_approx(
+            "n_chars", [0.5, 0.95, 0.99], F.lit(_QA_ACCURACY)
+        ).alias("qs")
+    )
+    # explode to the scalar grain (the emb_quantize_int8 lesson; pos
+    # maps 0/1/2 -> p50/p95/p99)
+    return qs.select(
+        "lang", F.posexplode("qs").alias("pos", "approx_n_chars")
+    ).select(
+        "lang",
+        F.element_at(
+            F.array(F.lit(50), F.lit(95), F.lit(99)), F.col("pos") + 1
+        ).alias("pct"),
+        F.col("approx_n_chars").cast("long").alias("approx_n_chars"),
+    )
+
+
 TEXT_JACCARD_SLICE = 30  # docs in the exact pairwise slice
 
 
@@ -2075,6 +2174,8 @@ def text_jaccard_pairs(spark, sf):
 
 PIPE_FNS = {
     "text_jaccard_pairs": text_jaccard_pairs,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "docs_quantiles_approx": docs_quantiles_approx,
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_keep_best": dedup_keep_best,
@@ -2111,6 +2212,27 @@ PIPE_FNS = {
 }
 
 PIPE_SQL: dict[str, str | None] = {
+    # same md5-prefix hash arithmetic as corpus_shard_shuffle (h is a
+    # non-negative 32-bit prefix, so % == pmod) and the docs_tfidf
+    # whitespace class; constants interpolated so retuning cannot
+    # desynchronize engine and oracle
+    "corpus_pack_sequences": (
+        "WITH t AS (SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, "
+        "'[ \\t\\n\\r\\f\\x0B]+'), x -> x <> ''))::BIGINT AS n_tok, "
+        "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h "
+        "FROM documents), "
+        f"s AS (SELECT doc_id, n_tok, h, (h % {PACK_SHARDS})::INTEGER "
+        "AS shard FROM t), "
+        "p AS (SELECT doc_id, shard, n_tok, "
+        "sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok FROM s) "
+        "SELECT doc_id, shard, n_tok, start_tok, "
+        f"(start_tok // {PACK_BUDGET})::BIGINT AS first_block, "
+        "((start_tok + greatest(n_tok, 1) - 1) "
+        f"// {PACK_BUDGET})::BIGINT AS last_block FROM p"
+    ),
+    "docs_quantiles_approx": None,  # sketch choice is impl-specific
     # same whitespace class as docs_tfidf; |a∪b| = |a|+|b|−|a∩b| on
     # both engines (list_intersect and array_intersect both return
     # distinct elements)

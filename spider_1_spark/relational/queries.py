@@ -1884,6 +1884,127 @@ def stream_dedup_watermark(spark, sf):
     return out
 
 
+def _stream_upsert_src_dir(sf: str) -> str:
+    """Stage the events fixture as a 4-file CDC feed: three disjoint
+    insert slices (event_id mod 3, seq=0) plus an updates file (the
+    event_id mod 10 == 0 subset with value+1000, seq=1).  Built with
+    pyarrow take/set_column so the staged schema is byte-identical to
+    the fixture's (a pandas round-trip would retype the timestamp).
+    Same race-safe first-writer-wins rename as _stream_src_dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_file = os.path.abspath(f"{sf}/events.parquet")
+    st = os.stat(src_file)
+    key = hashlib.md5(
+        f"{src_file}:{st.st_mtime_ns}:{st.st_size}:upsert".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"spider1_cdc_{key}")
+    if not os.path.isdir(path):
+        staging = path + "." + uuid.uuid4().hex[:8]
+        os.makedirs(staging)
+        tbl = pq.read_table(src_file)
+        eid = tbl.column("event_id").to_numpy()
+
+        def with_seq(t: pa.Table, seq: int) -> pa.Table:
+            return t.append_column(
+                "seq", pa.array(np.full(len(t), seq, dtype=np.int32))
+            )
+
+        for i in range(3):
+            part = tbl.take(np.nonzero(eid % 3 == i)[0])
+            pq.write_table(
+                with_seq(part, 0),
+                os.path.join(staging, f"insert{i}.parquet"),
+            )
+        upd = tbl.take(np.nonzero(eid % 10 == 0)[0])
+        vi = upd.schema.get_field_index("value")
+        upd = upd.set_column(
+            vi,
+            upd.schema.field(vi),
+            pa.array(upd.column("value").to_numpy() + 1000.0),
+        )
+        pq.write_table(
+            with_seq(upd, 1), os.path.join(staging, "update0.parquet")
+        )
+        try:
+            os.rename(staging, path)
+        except OSError:  # concurrent writer won the rename
+            shutil.rmtree(staging, ignore_errors=True)
+    return path
+
+
+def stream_foreach_batch_upsert(spark, sf):
+    """SURVEY §2B streaming taxonomy: the ``foreachBatch`` SINK path —
+    a streaming CDC upsert in the merge-on-read shape every lakehouse
+    table format (Hudi/Iceberg/Delta MoR) uses: each micro-batch is
+    APPENDED to a base+delta log (no read-modify-write race inside
+    the sink), and readers apply the merge — latest ``seq`` wins per
+    key — at query time; compaction (sink_compact_files) would fold
+    the log back down offline.  ``maxFilesPerTrigger=1`` forces the
+    4-file staged feed (3 disjoint insert slices + 1 updates slice,
+    see _stream_upsert_src_dir) through FOUR distinct foreachBatch
+    invocations, so the sink really runs multiple times.
+
+    Deterministic under ANY batch order: the merge folds by max(seq)
+    per event_id, a commutative pick (seq is unique per key), so the
+    result equals CASE event_id % 10 = 0 THEN value+1000 over the
+    base table — the full SQL oracle.  At scale: appends are
+    partition-local, the merge is one max_by hash agg keyed by
+    event_id, and state never lives in the sink function."""
+    import shutil
+    import tempfile
+    import uuid
+
+    path = _stream_upsert_src_dir(sf)
+    schema = spark.read.parquet(path).schema
+    log_dir = _scratch_dir("fbu_log", sf)
+    shutil.rmtree(log_dir, ignore_errors=True)  # fresh log per call
+    ckpt = tempfile.mkdtemp(prefix="spider1_fbu_ck_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(log_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    log = spark.read.parquet(log_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    merged = log.select(
+        "event_id",
+        "seq",
+        F.struct("event_type", "user_id", us.alias("us"), "value").alias(
+            "row"
+        ),
+    ).groupBy("event_id").agg(F.max_by("row", "seq").alias("row"))
+    return merged.select(
+        "event_id",
+        F.col("row.event_type").alias("event_type"),
+        F.col("row.user_id").alias("user_id"),
+        F.col("row.us").alias("us"),
+        F.col("row.value").alias("value"),
+    )
+
+
 # ----------------------------------------------------------------- SQL
 
 SQL: dict[str, str | None] = {
@@ -2370,6 +2491,14 @@ SQL: dict[str, str | None] = {
         "SELECT user_id, event_type AS mode_event_type, "
         "cnt::BIGINT AS n_events FROM r WHERE rn = 1"
     ),
+    # the Spark side replays a 4-batch CDC feed through foreachBatch
+    # and merges latest-seq-wins; the oracle applies the same update
+    # directly to the base table (value+1000 is one IEEE add on both)
+    "stream_foreach_batch_upsert": (
+        "SELECT event_id, event_type, user_id, epoch_us(ts) AS us, "
+        "CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END "
+        "AS value FROM events"
+    ),
     # the Spark side deduplicates 3 injected byte-identical copies per
     # event_id; the oracle aggregates the un-duplicated base table
     # (event_id is unique in the fixture)
@@ -2446,6 +2575,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_lateral_tokens": udtf_lateral_tokens,
     "stream_stateful_first_seen": stream_stateful_first_seen,
     "stream_dedup_watermark": stream_dedup_watermark,
+    "stream_foreach_batch_upsert": stream_foreach_batch_upsert,
     "timeseries_gapfill": timeseries_gapfill,
     "intervals_coverage": intervals_coverage,
     "cohort_retention": cohort_retention,

@@ -61,6 +61,8 @@ SUBSET = [
     "agg_mode_per_group",  # r4: deterministic per-group mode
     "stream_dedup_watermark",  # r4: native streaming dedup, 3x dups
     "text_jaccard_pairs",  # r4: exact pairwise Jaccard truth set
+    "corpus_pack_sequences",  # r4: sharded sequence packing
+    "stream_foreach_batch_upsert",  # r4: CDC merge-on-read sink
 ]
 
 

@@ -1306,3 +1306,68 @@ def test_multimodal_audio_features_match_numpy(spark, sf_dir):
         else:
             assert r.status == "ok"
             assert (r.rate, r.n_samples, r.duration_ms, r.rms, r.zcr) == e
+
+
+def test_corpus_pack_sequences_tiles_each_shard(spark, sf_dir):
+    """Packing invariants per shard: start offsets tile the
+    concatenated token stream exactly (sorted starts are the running
+    sum of lengths, no gaps/overlaps), block ids match the
+    concatenate-then-chunk arithmetic, and the assignment is a pure
+    function of doc_id (re-running yields identical rows)."""
+    from spider_1_spark.pipeline.queries import (
+        PACK_BUDGET,
+        corpus_pack_sequences,
+    )
+
+    rows = corpus_pack_sequences(spark, sf_dir).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == len(rows)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.start_tok)
+        acc = 0
+        for r in rs:
+            assert r.start_tok == acc  # contiguous, no gaps/overlaps
+            acc += r.n_tok
+            assert r.first_block == r.start_tok // PACK_BUDGET
+            assert r.last_block == (
+                r.start_tok + max(r.n_tok, 1) - 1
+            ) // PACK_BUDGET
+            assert r.first_block <= r.last_block
+    again = {
+        r.doc_id: (r.shard, r.start_tok)
+        for r in corpus_pack_sequences(spark, sf_dir).collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.start_tok) for r in rows}
+
+
+def test_docs_quantiles_approx_rank_contract(spark, sf_dir):
+    """The GK-sketch contract the rows-only key rests on: every
+    approximate quantile is an actual n_chars value of its language
+    whose rank is within n/accuracy of the exact target rank."""
+    import pyarrow.parquet as pq
+
+    from spider_1_spark.pipeline.queries import (
+        _QA_ACCURACY,
+        docs_quantiles_approx,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    by_lang: dict[str, list] = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(d["n_chars"])
+    for vals in by_lang.values():
+        vals.sort()
+    out = docs_quantiles_approx(spark, sf_dir).collect()
+    assert len(out) == 3 * len(by_lang)
+    for r in out:
+        vals = by_lang[r.lang]
+        n = len(vals)
+        assert r.approx_n_chars in vals
+        # all ranks (1-based) where this value occurs
+        lo = vals.index(r.approx_n_chars) + 1
+        hi = n - vals[::-1].index(r.approx_n_chars)
+        target = r.pct / 100.0 * n
+        eps = max(1.0, n / _QA_ACCURACY)  # floor/ceil slack at tiny n
+        assert lo - eps <= target + eps and hi + eps >= target - eps

@@ -253,3 +253,29 @@ def test_stream_dedup_actually_sees_triplicated_source(spark):
     assert spark.read.parquet(path).count() == 3 * base
     out = stream_dedup_watermark(spark, sf).collect()
     assert sum(r.n for r in out) == base
+
+
+def test_foreach_batch_upsert_replays_four_batches(spark):
+    """The CDC key's evidence rests on foreachBatch really running
+    once per staged file: the append log must hold base+delta rows
+    (1000 inserts + 100 updates), and the merged view must apply
+    value+1000 to exactly the event_id % 10 == 0 subset."""
+    from spider_1_spark.relational.queries import (
+        _scratch_dir,
+        stream_foreach_batch_upsert,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_id: r for r in
+           stream_foreach_batch_upsert(spark, sf).collect()}
+    log = spark.read.parquet(_scratch_dir("fbu_log", sf))
+    assert log.count() == 1100  # 3 insert slices + 1 update slice
+    assert log.select("seq").distinct().count() == 2
+    base = {
+        r.event_id: r
+        for r in spark.read.parquet(f"{sf}/events.parquet").collect()
+    }
+    assert set(out) == set(base)
+    for eid, r in out.items():
+        expect = base[eid].value + (1000.0 if eid % 10 == 0 else 0.0)
+        assert r.value == expect
