@@ -123,6 +123,8 @@ _FIRST_KEYS = (
     "corpus_pack_sequences",
     "stream_foreach_batch_upsert",
     "docs_quantiles_approx",
+    "events_top_transitions",
+    "emb_dist_to_centroid",
     # (4) re-proofs: r02-evidence full-oracle keys, oldest first by
     # structural value (the three simplest — set_union_dedup,
     # set_except, limit_global — stay outside on their r02 rows):
@@ -155,8 +157,6 @@ _FIRST_KEYS = (
     "agg_rollup",
     "array_fns",
     "win_lag_lead",
-    "win_rank_dense",
-    "sort_key",
 )
 
 # Keys implemented after the current round's window filled (none right
@@ -174,6 +174,8 @@ _R4_QUEUE: tuple[str, ...] = ()
 # spends itself on no-row > modified > new > stalest-evidence keys in
 # that order.
 _LAST_FULL_KEYS = (
+    "win_rank_dense",
+    "sort_key",
     "scan_parquet",
     "scan_projection_pushdown",
     "filter_pred",

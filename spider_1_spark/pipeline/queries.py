@@ -2024,6 +2024,45 @@ def _cc_sql() -> str:
     )
 
 
+def emb_dist_to_centroid(spark, sf):
+    """Per-vector distance to its own label centroid — the embedding
+    QC pass every labeled corpus runs: vectors far from their class
+    prototype are mislabels, outliers, or drift, and the distance
+    column is what the curation threshold is read off of.
+
+    Scale shape: the centroid is the emb_centroid_per_label aggregate
+    (posexplode → ONE map-side-combined hash agg, O(labels × dim)
+    result) and joins back BROADCAST — the corpus-side exploded frame
+    never shuffles for the join; the distance sum is then one hash agg
+    keyed by vec_id with map-side combine.  Both engines average the
+    identical float32 values in doubles and round the centroid to 6 dp
+    BEFORE the distance arithmetic, so the compounding inputs are
+    identical; the final distance is rounded to 6 dp (sum-order ulps
+    ~1e-15, far inside the rounding — the ann_cosine_topk precedent).
+    """
+    e = _emb(spark, sf)
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    diff = ex.join(F.broadcast(cent), ["label", "pos"])
+    return (
+        diff.groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("ss")
+        )
+        .select(
+            "vec_id", "label", F.round(F.sqrt("ss"), 6).alias("dist")
+        )
+    )
+
+
 PACK_SHARDS = 8  # packing shards (at 100 TB: corpus / shard-target)
 PACK_BUDGET = 1024  # tokens per packed training sequence
 
@@ -2176,6 +2215,7 @@ PIPE_FNS = {
     "text_jaccard_pairs": text_jaccard_pairs,
     "corpus_pack_sequences": corpus_pack_sequences,
     "docs_quantiles_approx": docs_quantiles_approx,
+    "emb_dist_to_centroid": emb_dist_to_centroid,
     "dedup_exact": dedup_exact,
     "dedup_exact_hash": dedup_exact_hash,
     "dedup_keep_best": dedup_keep_best,
@@ -2233,6 +2273,21 @@ PIPE_SQL: dict[str, str | None] = {
         f"// {PACK_BUDGET})::BIGINT AS last_block FROM p"
     ),
     "docs_quantiles_approx": None,  # sketch choice is impl-specific
+    # centroid rounded to 6 dp BEFORE the distance on both engines so
+    # the compounding inputs are identical; pos is an internal join
+    # key (0-based Spark, 1-based DuckDB — consistent within each)
+    "emb_dist_to_centroid": (
+        "WITH ex AS (SELECT vec_id, label, "
+        "generate_subscripts(embedding, 1) AS pos, "
+        "unnest(embedding::DOUBLE[]) AS v FROM embeddings), "
+        "cent AS (SELECT label, pos, round(avg(v), 6) AS c FROM ex "
+        "GROUP BY label, pos), "
+        "d AS (SELECT e.vec_id, e.label, "
+        "sum((e.v - c.c) * (e.v - c.c)) AS ss FROM ex e JOIN cent c "
+        "ON e.label = c.label AND e.pos = c.pos "
+        "GROUP BY e.vec_id, e.label) "
+        "SELECT vec_id, label, round(sqrt(ss), 6) AS dist FROM d"
+    ),
     # same whitespace class as docs_tfidf; |a∪b| = |a|+|b|−|a∩b| on
     # both engines (list_intersect and array_intersect both return
     # distinct elements)

@@ -1884,6 +1884,43 @@ def stream_dedup_watermark(spark, sf):
     return out
 
 
+def events_top_transitions(spark, sf):
+    """Top-3 event-type transitions per source type — first-order
+    Markov sequence mining (the "what do users do next" matrix behind
+    next-action models and funnel discovery): consecutive event pairs
+    per user via lag, globally counted, top-k per source with a total
+    (count DESC, dst ASC) ordering so ranks are unique.
+
+    Scale shape: ONE user_id-partitioned lag window over raw events
+    (O(events per user · log) per key, no pair blowup), then a
+    map-side-combined hash agg on the tiny (src, dst) key space, then
+    the rank window over the aggregated frame only — the same
+    aggregate-then-rank discipline as agg_mode_per_group.  Tiebreak on
+    (ts_us, event_id) keeps the lag deterministic under duplicate
+    timestamps; integer epoch-micros end-to-end."""
+    e = _t(spark, sf, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select(
+            "user_id", "event_id", "event_type", us.alias("ts_us")
+        )
+        .withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "src", F.col("event_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    rw = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    return (
+        counts.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", "n", "rank")
+    )
+
+
 def _stream_upsert_src_dir(sf: str) -> str:
     """Stage the events fixture as a 4-file CDC feed: three disjoint
     insert slices (event_id mod 3, seq=0) plus an updates file (the
@@ -2482,6 +2519,17 @@ SQL: dict[str, str | None] = {
         "FROM wk JOIN f ON wk.user_id = f.user_id "
         "GROUP BY f.cohort_week, week_offset"
     ),
+    "events_top_transitions": (
+        "WITH p AS (SELECT user_id, event_type AS dst, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS src FROM events), "
+        "c AS (SELECT src, dst, count(*)::BIGINT AS n FROM p "
+        "WHERE src IS NOT NULL GROUP BY src, dst), "
+        "r AS (SELECT src, dst, n, row_number() OVER ("
+        "PARTITION BY src ORDER BY n DESC, dst ASC)::BIGINT AS rank "
+        "FROM c) "
+        "SELECT src, dst, n, rank FROM r WHERE rank <= 3"
+    ),
     "agg_mode_per_group": (
         "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
         "FROM events GROUP BY user_id, event_type), "
@@ -2580,6 +2628,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intervals_coverage": intervals_coverage,
     "cohort_retention": cohort_retention,
     "agg_mode_per_group": agg_mode_per_group,
+    "events_top_transitions": events_top_transitions,
     "stream_tumbling_1h": stream_tumbling_1h,
     "stream_watermark_late": stream_watermark_late,
     "stream_sliding": stream_sliding,

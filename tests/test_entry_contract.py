@@ -63,6 +63,8 @@ SUBSET = [
     "text_jaccard_pairs",  # r4: exact pairwise Jaccard truth set
     "corpus_pack_sequences",  # r4: sharded sequence packing
     "stream_foreach_batch_upsert",  # r4: CDC merge-on-read sink
+    "events_top_transitions",  # r4: Markov transition top-k
+    "emb_dist_to_centroid",  # r4: embedding outlier QC distance
 ]
 
 
