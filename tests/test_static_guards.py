@@ -239,3 +239,39 @@ def test_full_oracle_keys_return_scalar_columns_only():
         "full-oracle keys with non-scalar top-level columns (the "
         "driver canonicalizer cannot hash these):\n" + "\n".join(offenders)
     )
+
+
+def test_gapfill_spine_join_is_broadcast(spark):
+    """timeseries_gapfill's scale story: the heavy side is ONE hash
+    agg over raw events; the spine (types × days) must broadcast into
+    the fill join — a shuffled fill join would re-exchange the
+    aggregated frame for nothing."""
+    from spider_1_spark.relational.queries import timeseries_gapfill
+
+    plan = _plan(timeseries_gapfill(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_centroid_join_is_broadcast(spark):
+    """emb_dist_to_centroid: the O(labels × dim) centroid frame must
+    broadcast — the exploded corpus side shuffling for this join is
+    exactly the 100 TB failure the docstring promises away."""
+    from spider_1_spark.pipeline.queries import emb_dist_to_centroid
+
+    plan = _plan(emb_dist_to_centroid(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rank_topk_uses_window_group_limit(spark):
+    """agg_mode_per_group / events_top_transitions rank only their
+    aggregated frames, and Spark's WindowGroupLimit pushdown must
+    materialize so the rank filter prunes before the sort — its
+    absence would mean the rank-k filter stopped being recognized."""
+    from spider_1_spark.relational.queries import (
+        agg_mode_per_group,
+        events_top_transitions,
+    )
+
+    for fn in (agg_mode_per_group, events_top_transitions):
+        plan = _plan(fn(spark, SF))
+        assert "WindowGroupLimit" in plan, (fn.__name__, plan)
