@@ -58,9 +58,13 @@ def _materialized(result: DataFrame, *cached: DataFrame) -> DataFrame:
     pins only the (much smaller) candidate-pair RESULT, and the
     ContextCleaner releases those blocks once the caller drops the
     returned frame."""
-    out = result.localCheckpoint(eager=True)
-    for c in cached:
-        c.unpersist()
+    try:
+        out = result.localCheckpoint(eager=True)
+    finally:
+        # release even if materialization throws — a leaked cache
+        # lives for the session (ADVICE r3, applied module-wide here)
+        for c in cached:
+            c.unpersist()
     return out
 
 
@@ -634,51 +638,61 @@ def _min_label_components(
         .repartition("src")
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"),
-                              F.col("comp").alias("dst_comp")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dst_comp").alias("nbr_comp"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    "comp", F.coalesce("nbr_comp", F.col("comp"))
-                ).alias("comp"),
-            )
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("comp", F.col("id"))
             .localCheckpoint()
         )
-        changed = new_labels.join(labels, ["id", "comp"], "left_anti").count()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # Returning here would hand back intermediate (non-minimal)
-        # labels with silently split components — fail loudly instead;
-        # a corpus with diameter > max_rounds needs the large-star/
-        # small-star alternation the docstring points at.
-        edges.unpersist()
-        raise RuntimeError(
-            f"{op_name} did not converge in {max_rounds} "
-            f"rounds ({changed} labels still changing); the near-dup "
-            "graph has a deeper component than min-label propagation "
-            "should be used for"
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges.join(
+                    labels.select(F.col("id").alias("dst"),
+                                  F.col("comp").alias("dst_comp")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_comp").alias("nbr_comp"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        "comp", F.coalesce("nbr_comp", F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            changed = new_labels.join(
+                labels, ["id", "comp"], "left_anti"
+            ).count()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # Returning here would hand back intermediate (non-minimal)
+            # labels with silently split components — fail loudly
+            # instead; a corpus with diameter > max_rounds needs the
+            # large-star/small-star alternation the docstring points at.
+            raise RuntimeError(
+                f"{op_name} did not converge in {max_rounds} "
+                f"rounds ({changed} labels still changing); the near-dup "
+                "graph has a deeper component than min-label propagation "
+                "should be used for"
+            )
+        sizes = labels.groupBy("comp").agg(
+            F.count("*").alias("cluster_size")
         )
-    edges.unpersist()
-    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "comp").select("id", "comp", "cluster_size")
+        out = labels.join(sizes, "comp").select(
+            "id", "comp", "cluster_size"
+        )
+    finally:
+        # release on every exit — convergence, non-convergence raise,
+        # or a mid-round failure (ADVICE r3 cache discipline)
+        edges.unpersist()
+    return out
 
 
 def dedup_cc_minhash(spark, sf, max_rounds: int = 25):
