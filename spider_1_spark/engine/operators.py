@@ -319,27 +319,40 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
         #   + 0-based position within this batch (groupby cumcount),
         # all three computed group-at-a-time; only the tiny per-group
         # dict updates stay in Python (O(hosts-in-batch), not O(rows)).
+        import numpy as np
+
         offs = off_b.value
-        carry: dict[tuple[int, str], int] = {}
+        carry: dict[tuple[int, object], int] = {}
+
+        def norm(h):  # None/NaN host -> None, matching the collected
+            return None if pd.isna(h) else h  # stats rows' key shape
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            g = pdf.groupby(["_pid", "host"], sort=False)
+            # dropna=False: a null host is a legal group (host_udf
+            # emits None for unparseable urls) — the default dropna
+            # would silently FILTER those rows out instead of ranking
+            # them (r4 review finding).  ngroup+array indexing (not a
+            # merge) because pandas merge never matches NaN keys.
+            g = pdf.groupby(["_pid", "host"], sort=False, dropna=False)
             local = g.cumcount().to_numpy()
-            sizes = g.size()  # index: (pid, host), batch row order
-            keys = sizes.reset_index()[["_pid", "host"]]
-            keys["_base"] = [
-                offs.get((int(p), h), 0) + carry.get((int(p), h), 0)
-                for p, h in zip(keys["_pid"], keys["host"])
-            ]
-            # left merge preserves pdf's row order -> aligned bases
-            base = pdf[["_pid", "host"]].merge(
-                keys, on=["_pid", "host"], how="left"
-            )["_base"].to_numpy()
+            codes = g.ngroup().to_numpy()
+            sizes = g.size()  # index: (pid, host), group order = ngroup
+            group_base = np.fromiter(
+                (
+                    offs.get((int(p), norm(h)), 0)
+                    + carry.get((int(p), norm(h)), 0)
+                    for p, h in sizes.index
+                ),
+                dtype=np.int64,
+                count=len(sizes),
+            )
+            base = group_base[codes]
             mask = (base + local) < pdf["cap_h"].to_numpy()
             yield pdf[pd.Series(mask, index=pdf.index)]
             for (p, h), sz in sizes.items():
-                k = (int(p), h)
+                k = (int(p), norm(h))
                 carry[k] = carry.get(k, 0) + int(sz)
 
     out = part.mapInPandas(keep_topk, part.schema).drop("_pid")

@@ -755,11 +755,16 @@ def stream_watermark_late(spark, sf):
     q.awaitTermination()
     # Materialize, then drop the memory-sink table: otherwise every
     # invocation pins a full result copy in the driver for the session
-    # lifetime (the reps harness calls each key 1+N times).
-    out = spark.table(name).select(
-        F.unix_millis(F.col("win.start")).alias("window_ms"), "n", "sum_v"
-    ).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
+    # lifetime (the reps harness calls each key 1+N times).  The drop
+    # runs in finally so a failed materialization cannot leak the
+    # sink either (ADVICE r3 discipline, r4 review finding).
+    try:
+        out = spark.table(name).select(
+            F.unix_millis(F.col("win.start")).alias("window_ms"),
+            "n", "sum_v",
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
     return out
 
 
@@ -838,12 +843,16 @@ def stream_stateful_first_seen(spark, sf):
     )
     # first_us stays integer epoch-micros end-to-end (state, output,
     # oracle epoch_us()) — no timestamp/session-tz round-trip anywhere
-    out = (
-        t.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "event_type", "first_us", "n_events")
-    ).localCheckpoint(eager=True)  # then drop the memory sink (see
-    spark.catalog.dropTempView(name)  # stream_watermark_late)
+    try:
+        out = (
+            t.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type", "first_us", "n_events")
+        ).localCheckpoint(eager=True)
+    finally:
+        # drop the memory sink even on failure (see
+        # stream_watermark_late)
+        spark.catalog.dropTempView(name)
     return out
 
 
@@ -1651,12 +1660,32 @@ def timeseries_gapfill(spark, sf):
     downstream moving average over a sparse frame is simply wrong).
 
     Scale shape: the heavy work is ONE map-side-combined hash agg over
-    raw events; the spine is O(types × days) — generated JVM-side with
-    sequence()+explode from a 1-row min/max agg (no driver collect, no
-    Python) and broadcast into the fill join, so the gap fill itself
-    never shuffles the aggregated frame.  Days are integer epoch-days
-    (floor of epoch-micros / 86.4e9) end-to-end, so both engines agree
+    raw events, materialized once (persist + eager checkpoint,
+    released in finally) — the day bounds, the type set, AND the fill
+    all derive from that tiny O(types × days) aggregated frame, so raw
+    events are scanned exactly once (the first cut scanned them three
+    times; r4 review finding).  The spine is generated JVM-side with
+    sequence()+explode (no driver collect, no Python) and the fill is
+    a broadcast join with the hint on the BUILD (right) side — a hint
+    on the left of a left-outer join is unsupported and Spark would
+    silently shuffle both sides (r4 review finding; the static guard
+    pins BroadcastHashJoin).  Days are integer epoch-days (floor of
+    epoch-micros / 86.4e9) end-to-end, so both engines agree
     bit-for-bit with no date/tz round-trip."""
+    filled, counts = _gapfill_plan(spark, sf)
+    try:
+        out = filled.localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    return out
+
+
+def _gapfill_plan(spark, sf):
+    """timeseries_gapfill's lazy plan, pre-materialization — split out
+    (the _bucketed_join_plan pattern) so the static guard can inspect
+    the join strategy, which the eager checkpoint in the public
+    function hides behind a Scan ExistingRDD.  Returns
+    ``(filled_df, counts_df)``; the caller owns releasing counts."""
     e = _t(spark, sf, "events")
     us = F.expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -1665,21 +1694,23 @@ def timeseries_gapfill(spark, sf):
         "event_type",
         F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
     )
-    counts = d.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    counts = d.groupBy("event_type", "day").agg(
+        F.count("*").alias("n")
+    ).persist()
     days = (
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
         .select(F.explode(F.sequence("d0", "d1")).alias("day"))
     )
-    spine = d.select("event_type").distinct().crossJoin(F.broadcast(days))
-    return (
-        F.broadcast(spine)
-        .join(counts, ["event_type", "day"], "left")
+    spine = counts.select("event_type").distinct().crossJoin(days)
+    filled = (
+        spine.join(F.broadcast(counts), ["event_type", "day"], "left")
         .select(
             "event_type",
             "day",
             F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         )
     )
+    return filled, counts
 
 
 def intervals_coverage(spark, sf):
@@ -1870,17 +1901,21 @@ def stream_dedup_watermark(spark, sf):
         .start()
     )
     q.awaitTermination()
-    out = (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.count_distinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 4).alias("sum_v"),
+    try:
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 4).alias("sum_v"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)  # then drop the memory sink
-    )
-    spark.catalog.dropTempView(name)
+    finally:
+        # drop the memory sink even on failure (see
+        # stream_watermark_late)
+        spark.catalog.dropTempView(name)
     return out
 
 

@@ -204,3 +204,35 @@ def test_engine_matches_oracle_frontier_mode(spark, payload):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     check_equal(oracle, got)
+
+
+def test_grouped_topk_ranks_null_host_rows(spark):
+    """A null host (host_udf emits None for unparseable urls) is a
+    legal group: the grouped-rank gate must RANK those rows against
+    cap_h like any host, not silently drop them (the pandas-groupby
+    default dropna would — r4 review finding)."""
+    from spider_1_spark.engine.operators import _grouped_topk
+
+    rows = []
+    for i in range(40):
+        rows.append((None, 0, i, 0, f"bad://u{i}", 0, 7))
+    for i in range(40):
+        rows.append((f"h{i % 2}", 0, i, 0, f"http://h{i % 2}.x/{i}", 0, 7))
+    df = spark.createDataFrame(
+        rows,
+        "host string, depth int, parent_rank long, link_pos int, "
+        "url string, t0 int, cap_h long",
+    )
+    out = _grouped_topk(df, 4)
+    got = out.collect()
+    out._rank_source.unpersist()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.parent_rank)
+    # every host, INCLUDING None, keeps exactly its cap_h=7 smallest
+    # rows by the (depth, parent_rank, link_pos, url) ordering
+    expect = {}
+    for h, *_ in rows:
+        ranks = sorted(r[2] for r in rows if r[0] == h)
+        expect[h] = ranks[:7]
+    assert {h: sorted(v) for h, v in by_host.items()} == expect

@@ -126,11 +126,27 @@ def test_driver_window_holds_all_live_full_oracle_keys():
                     "hash_match"
                 ):
                     passed.add(k)
+    # An outside-window key needs BOTH a committed full-pass row AND
+    # an unchanged (source + SQL) hash vs the frozen manifest: a key
+    # modified after its row was recorded can no longer hide outside
+    # the window on stale evidence (the r03 emb_quantize_int8 failure
+    # class).  Fix = seat the key in _FIRST_KEYS, or deliberately
+    # regenerate via scripts/gen_oracle_manifest.py (reviewable diff).
+    from scripts.gen_oracle_manifest import key_hash
+
+    with open(os.path.join(repo, "tests", "oracle_manifest.json")) as f:
+        manifest = json.load(f)
+    q = entrymod.queries()
     for k in sql:
         if k not in window:
             assert k in passed, (
                 f"full-oracle key {k} is outside the 50-row window with "
                 "no committed full-pass driver row"
+            )
+            assert key_hash(q[k], sql[k]) == manifest.get(k), (
+                f"full-oracle key {k} changed since the manifest froze "
+                "it but sits outside the driver window — seat it in "
+                "_FIRST_KEYS or regenerate tests/oracle_manifest.json"
             )
     assert len(entrymod._FIRST_KEYS) == 50, "window must be exactly full"
     for i, k in enumerate(entrymod._FIRST_KEYS):

@@ -242,14 +242,25 @@ def test_full_oracle_keys_return_scalar_columns_only():
 
 
 def test_gapfill_spine_join_is_broadcast(spark):
-    """timeseries_gapfill's scale story: the heavy side is ONE hash
-    agg over raw events; the spine (types × days) must broadcast into
-    the fill join — a shuffled fill join would re-exchange the
-    aggregated frame for nothing."""
-    from spider_1_spark.relational.queries import timeseries_gapfill
+    """timeseries_gapfill's scale story: raw events are scanned ONCE
+    (the spine derives from the cached aggregate — no second/third
+    events scan) and the fill join broadcasts its BUILD (right) side;
+    a hint on the left of a left-outer join is unsupported and Spark
+    would silently shuffle both sides (r4 review finding).  Inspects
+    the pre-checkpoint plan via _gapfill_plan."""
+    from spider_1_spark.relational.queries import _gapfill_plan
 
-    plan = _plan(timeseries_gapfill(spark, SF))
-    assert "BroadcastHashJoin" in plan, plan
+    filled, counts = _gapfill_plan(spark, SF)
+    try:
+        plan = _plan(filled)
+        assert "BroadcastHashJoin" in plan, plan
+        # bounds, type set, and fill all read the CACHED aggregate
+        # (the formatted plan prints the cache's parquet lineage per
+        # reference, but execution hits InMemoryTableScan) — three
+        # cache reads == zero redundant raw-events scans
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        counts.unpersist()
 
 
 def test_centroid_join_is_broadcast(spark):
