@@ -89,91 +89,25 @@ def _crawl_decode_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Keys the driver must see first: the CORRECTNESS window records only
 # the first 50 of the registered keys, so the registry is ordered by
-# evidence value each round (VERDICT r2 item 5).  Round 4 leads with
-# (1) the seven keys that landed after the r03 window filled and so
-# have NO driver row at all (VERDICT r3 "What's missing" item 1),
-# (2) every key round 4 MODIFIED — emb_quantize_int8 (result exploded
-# to scalar columns, fixing the r03 hard-fail; oracle regenerated in
-# lockstep), join_bloom_prefilter (broadcast release destroy →
-# unpersist, ADVICE r3) and agg_hll_sketch (persist released in
-# try/finally, ADVICE r3), then (3) keys NEW in round 4, and (4) the
-# remaining seats re-prove the keys whose standing full-pass rows are
-# oldest (r02) — re-proofs are belt-and-braces, their r02 rows stand
-# either way.
+# evidence value each round (VERDICT r2 item 5).  Round 5 leads with
+# (1) the keys this round MODIFIED or ADDED — corpus_pack_sequences
+# (oracle SQL start_tok HUGEINT→BIGINT cast, the single r4 hash-fail;
+# VERDICT r4 item 1), sink_insert_overwrite_dynamic (NEW:
+# dynamic-partition-overwrite, the 4th lakehouse write mode; VERDICT
+# r4 item 3) and stream_foreach_batch_upsert (result materialized
+# via localCheckpoint before the next invocation rmtree's its input,
+# ADVICE r4) — then (2) the 14 keys whose standing full-pass rows are
+# r02 (VERDICT r4 item 2), and (3) the remaining 33 seats re-prove 33
+# of the 34 r03-evidence keys, oldest standing rows first;
+# unpivot_long (a two-projection UNION ALL, the structurally simplest
+# r03 key) stays outside on its r03 row.  Every r4-evidence key sits
+# outside on fresh rows, pinned by the oracle-manifest hash guard.
 _FIRST_KEYS = (
-    # (1) no driver row yet (implemented after the r03 window filled):
-    "source_orc_roundtrip",
-    "win_sessionize_gap",
-    "docs_tfidf",
-    "win_funnel_steps",
-    "dedup_cc_minhash",
-    "join_full_outer",
-    "sink_compact_files",
-    # (2) modified in round 4:
-    "emb_quantize_int8",
-    "join_bloom_prefilter",
-    "agg_hll_sketch",
-    # (3) new in round 4:
-    "timeseries_gapfill",
-    "intervals_coverage",
-    "cohort_retention",
-    "agg_mode_per_group",
-    "stream_dedup_watermark",
-    "text_jaccard_pairs",
+    # (1) modified/new in round 5:
     "corpus_pack_sequences",
+    "sink_insert_overwrite_dynamic",
     "stream_foreach_batch_upsert",
-    "docs_quantiles_approx",
-    "events_top_transitions",
-    "emb_dist_to_centroid",
-    # (4) re-proofs: r02-evidence full-oracle keys, oldest first by
-    # structural value (the three simplest — set_union_dedup,
-    # set_except, limit_global — stay outside on their r02 rows):
-    "agg_hash_counts",
-    "udaf_via_applyInPandas",
-    "dedup_exact_hash",
-    "udf_grouped_map",
-    "stream_session",
-    "topk_per_group",
-    "source_inline",
-    "sink_append_parquet",
-    "sink_partitioned",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_left_anti",
-    "join_left_outer",
-    "agg_first_by_key",
-    "win_row_number",
-    "win_frame_agg",
-    "map_json_fns",
-    "stream_tumbling_1h",
-    "stream_sliding",
-    "text_quality",
-    "text_langid",
-    "agg_count_distinct",
-    "join_left_semi",
-    "filter_range_ts",
-    "agg_cube",
-    "join_nested_loop_theta",
-    "agg_rollup",
-    "array_fns",
-    "win_lag_lead",
-)
-
-# Keys implemented after the current round's window filled (none right
-# now) — they sort at positions 51+, first in line for the next
-# rebalance, carrying pytest + scripts/check_oracle.py DuckDB evidence
-# meanwhile.
-_R4_QUEUE: tuple[str, ...] = ()
-
-# Registry arithmetic at round-4 rotation: every key has a driver row
-# across r01∪r02∪r03 except the seven leading _FIRST_KEYS (seated
-# now), and every r4-modified key leads the window.  The keys below
-# sort LAST on standing r02/r03 full-pass rows with r4-unchanged
-# code: the 3 structurally simplest r02 keys, then the r03-verified
-# keys (fresh evidence, nothing to re-prove), so the 50-seat window
-# spends itself on no-row > modified > new > stalest-evidence keys in
-# that order.
-_LAST_FULL_KEYS = (
+    # (2) r02-evidence re-proofs (VERDICT r4 item 2):
     "win_rank_dense",
     "sort_key",
     "scan_parquet",
@@ -188,6 +122,55 @@ _LAST_FULL_KEYS = (
     "set_union_dedup",
     "set_except",
     "limit_global",
+    # (3) r03-evidence re-proofs (all but unpivot_long):
+    "agg_grouping_sets",
+    "agg_string_collect",
+    "ann_cosine_topk",
+    "corpus_apply_dedup",
+    "corpus_shard_shuffle",
+    "decontaminate_ngram",
+    "dedup_cc_embedding",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_best",
+    "docs_length_histogram",
+    "docs_ngram_topk",
+    "docs_quantiles",
+    "emb_centroid_per_label",
+    "explode_outer_null",
+    "join_asof",
+    "join_bucketed_colocated",
+    "join_range_interval",
+    "join_skew_salted",
+    "pivot_wide",
+    "sample_stratified",
+    "sink_merge_upsert",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "str_similarity",
+    "stream_stateful_first_seen",
+    "stream_watermark_late",
+    "subquery_decorrelated",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_tokens",
+    "udtf_lateral_tokens",
+    "win_ntile_cume",
+)
+
+# Keys implemented after the current round's window filled (none right
+# now) — they sort at positions 51+, first in line for the next
+# rebalance, carrying pytest + scripts/check_oracle.py DuckDB evidence
+# meanwhile.
+_R4_QUEUE: tuple[str, ...] = ()
+
+# Registry arithmetic at round-5 rotation: every key outside the
+# window holds a committed r03/r04 full-pass row with an unchanged
+# (source + SQL) manifest hash (the rotation-invariant test enforces
+# both).  unpivot_long sorts last among full-oracle keys as the one
+# r03 key deliberately left outside when the 50 seats ran out.
+_LAST_FULL_KEYS = (
+    "unpivot_long",
 )
 
 

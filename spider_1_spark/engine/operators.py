@@ -306,7 +306,16 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
     _prof("grouped_topk stats-collect done")
     offsets: dict[tuple[int, str], int] = {}
     per_host: dict[str, int] = {}
-    for r in sorted(stats, key=lambda r: (r["host"], r["_pid"])):
+    # None-safe sort key: nulls sort FIRST in the range partitioning,
+    # so a large unparseable-URL population straddles the first
+    # partition boundary and lands in `stats` as host=None alongside
+    # str hosts — a bare (host, pid) key would raise TypeError on the
+    # None-vs-str compare and kill the whole grouped-topk query
+    # (ADVICE r4).
+    for r in sorted(
+        stats,
+        key=lambda r: (r["host"] is not None, r["host"] or "", r["_pid"]),
+    ):
         offsets[(r["_pid"], r["host"])] = per_host.get(r["host"], 0)
         per_host[r["host"]] = per_host.get(r["host"], 0) + r["cnt"]
     off_b = spark.sparkContext.broadcast(offsets)

@@ -2281,7 +2281,10 @@ PIPE_SQL: dict[str, str | None] = {
         "p AS (SELECT doc_id, shard, n_tok, "
         "sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id "
         "ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok FROM s) "
-        "SELECT doc_id, shard, n_tok, start_tok, "
+        # start_tok is a window-sum in DuckDB and therefore HUGEINT;
+        # the driver hashes dtypes, so cast to BIGINT to match Spark's
+        # long (r4 driver hash-fail; VERDICT r4 item 1)
+        "SELECT doc_id, shard, n_tok, start_tok::BIGINT AS start_tok, "
         f"(start_tok // {PACK_BUDGET})::BIGINT AS first_block, "
         "((start_tok + greatest(n_tok, 1) - 1) "
         f"// {PACK_BUDGET})::BIGINT AS last_block FROM p"

@@ -905,6 +905,63 @@ def sink_partitioned(spark, sf):
     )
 
 
+def _insert_overwrite_plan(spark, sf, probe=None):
+    """Build the dynamic-overwrite table; returns (out_dir, read-back
+    DataFrame).  Split out so pytest can assert on the FILESYSTEM —
+    untouched partitions keep their exact file set — which no SQL
+    oracle can see; ``probe(out_dir)`` runs between the base write
+    and the dynamic overwrite so the test can snapshot the base
+    partitions' file inventory."""
+    import shutil
+
+    out = _scratch_dir("iow", sf)
+    shutil.rmtree(out, ignore_errors=True)  # idempotent re-invocation
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    (
+        o.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    if probe is not None:
+        probe(out)
+    upd = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    return out, spark.read.parquet(out)
+
+
+def sink_insert_overwrite_dynamic(spark, sf):
+    """A16 sink family, 4th lakehouse write mode (alongside append /
+    merge-upsert / compact): dynamic-partition-overwrite — Hive
+    ``INSERT OVERWRITE ... PARTITION`` semantics, the idempotent
+    backfill primitive.  Base table is partitioned by o_orderstatus;
+    the update frame holds ONLY status-F rows (prices doubled) and is
+    written with ``partitionOverwriteMode=dynamic``, so exactly the
+    partitions PRESENT in the update are replaced and O/P survive
+    untouched.  At 100 TB this is how a day's reprocess lands: the
+    job rewrites its own date partitions atomically and cannot clobber
+    the rest of the table (static mode would truncate it).  The
+    oracle sees the semantics end-to-end: per-status counts/sums must
+    equal base-with-F-doubled — a static overwrite would drop O/P
+    rows and fail rows_match, an append would double-count F."""
+    _, back = _insert_overwrite_plan(spark, sf)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 COMPACT_FRAGMENT_N = 64
 COMPACT_TARGET_N = 4
 
@@ -2068,13 +2125,18 @@ def stream_foreach_batch_upsert(spark, sf):
             "row"
         ),
     ).groupBy("event_id").agg(F.max_by("row", "seq").alias("row"))
-    return merged.select(
+    res = merged.select(
         "event_id",
         F.col("row.event_type").alias("event_type"),
         F.col("row.user_id").alias("user_id"),
         F.col("row.us").alias("us"),
         F.col("row.value").alias("value"),
     )
+    # materialize before returning: the frame's lineage reads log_dir,
+    # which the NEXT invocation rmtree's — a caller holding the lazy
+    # frame across invocations would read deleted files (ADVICE r4;
+    # matches the module's other sink keys)
+    return res.localCheckpoint(eager=True)
 
 
 # ----------------------------------------------------------------- SQL
@@ -2155,6 +2217,16 @@ SQL: dict[str, str | None] = {
         # not silently drop it (len(NULL) fails both comparisons)
         "UNION ALL SELECT doc_id, NULL, NULL FROM t "
         "WHERE len(l) = 0 OR l IS NULL"
+    ),
+    # final table = base with ONLY the F partition replaced by the
+    # doubled-price update: a static overwrite would lose O/P
+    # (rows_match fails), an append would double-count F.  Decimal
+    # sum (exact, order-independent) mirrors the Spark side.
+    "sink_insert_overwrite_dynamic": (
+        "SELECT o_orderstatus, count(*)::BIGINT AS n, "
+        "round(sum((CASE WHEN o_orderstatus = 'F' THEN 2 * o_totalprice "
+        "ELSE o_totalprice END)::DECIMAL(18,2)), 2)::DOUBLE AS sum_price "
+        "FROM orders GROUP BY o_orderstatus"
     ),
     "sink_merge_upsert": (
         "WITH src AS ("
@@ -2603,6 +2675,7 @@ FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf": docs_tfidf,
     "sink_append_parquet": sink_append_parquet,
     "sink_partitioned": sink_partitioned,
+    "sink_insert_overwrite_dynamic": sink_insert_overwrite_dynamic,
     "sink_merge_upsert": sink_merge_upsert,
     "pivot_wide": pivot_wide,
     "unpivot_long": unpivot_long,

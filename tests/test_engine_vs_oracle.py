@@ -236,3 +236,39 @@ def test_grouped_topk_ranks_null_host_rows(spark):
         ranks = sorted(r[2] for r in rows if r[0] == h)
         expect[h] = ranks[:7]
     assert {h: sorted(v) for h, v in by_host.items()} == expect
+
+
+def test_grouped_topk_null_host_spans_partitions(spark):
+    """Null hosts sort FIRST under the range partitioning, so a large
+    unparseable-URL population straddles the first partition boundary
+    and reaches the driver-side offsets build as a SPANNING host with
+    host=None.  When any str host spans a boundary too, the offsets
+    sort compares (None, pid) with (str, pid) — which raised TypeError
+    and killed the whole query before the None-safe key (ADVICE r4).
+    200 null + 200 'hA' rows over 4 range partitions force both to
+    span; correctness of the ranks is asserted, not just survival."""
+    from spider_1_spark.engine.operators import _grouped_topk
+
+    rows = []
+    for i in range(200):
+        rows.append((None, 0, i, 0, f"bad://u{i:03d}", 0, 150))
+    for i in range(200):
+        rows.append(("hA", 0, i, 0, f"http://hA.x/{i:03d}", 0, 150))
+    df = spark.createDataFrame(
+        rows,
+        "host string, depth int, parent_rank long, link_pos int, "
+        "url string, t0 int, cap_h long",
+    )
+    out = _grouped_topk(df, 4)
+    got = out.collect()
+    out._rank_source.unpersist()
+    by_host: dict = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.parent_rank)
+    # cap_h=150 > 400/4 rows-per-partition, so neither host fits in
+    # one partition's local rank range: correct output REQUIRES the
+    # cross-partition offsets to have been applied to both groups
+    assert {h: sorted(v) for h, v in by_host.items()} == {
+        None: list(range(150)),
+        "hA": list(range(150)),
+    }

@@ -115,11 +115,15 @@ def test_driver_window_holds_all_live_full_oracle_keys():
     window = set(keys[:50])
     sql = entrymod.oracle_sql()
     repo = os.path.dirname(os.path.abspath(entrymod.__file__))
+    import glob as globmod
+
     passed: set[str] = set()
-    for n in (1, 2, 3):
-        path = os.path.join(repo, f"CORRECTNESS_r0{n}.json")
-        if not os.path.exists(path):
-            continue
+    # glob, not an enumerated round list: hardcoding (1, 2, 3) made
+    # keys rotated out on r04 full-pass evidence look row-less the
+    # moment CORRECTNESS_r04.json landed (ADVICE r4)
+    for path in sorted(
+        globmod.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ):
         with open(path) as f:
             for k, v in json.load(f).items():
                 if v.get("rows_match") and v.get("schema_match") and v.get(

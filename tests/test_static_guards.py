@@ -172,6 +172,45 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark):
     ).count()
 
 
+def test_insert_overwrite_dynamic_touches_only_present_partitions(
+    spark,
+):
+    """sink_insert_overwrite_dynamic: the part no SQL oracle can see —
+    the dynamic overwrite must replace EXACTLY the partitions present
+    in the update frame.  O/P keep their byte-identical base file
+    inventory (same names, sizes, mtimes: never rewritten), while F's
+    file set actually changes.  A silent fall-back to static mode
+    would delete O/P; an append would leave F's old files in place."""
+    import glob
+    import os
+
+    from spider_1_spark.relational.queries import _insert_overwrite_plan
+
+    def inventory(out):
+        return {
+            s: {
+                (os.path.basename(p), os.path.getsize(p),
+                 os.stat(p).st_mtime_ns)
+                for p in glob.glob(
+                    os.path.join(out, f"o_orderstatus={s}", "*.parquet")
+                )
+            }
+            for s in ("F", "O", "P")
+        }
+
+    base = {}
+    _, back = _insert_overwrite_plan(
+        spark, SF, probe=lambda out: base.update(inventory(out))
+    )
+    out_dir = back.inputFiles()[0].rsplit("/o_orderstatus=", 1)[0]
+    if out_dir.startswith("file:"):
+        out_dir = out_dir[len("file:"):]
+    after = inventory(out_dir)
+    assert base["O"] and base["P"] and base["F"]
+    assert after["O"] == base["O"] and after["P"] == base["P"]
+    assert after["F"] and after["F"].isdisjoint(base["F"])
+
+
 def test_salted_join_shuffles_instead_of_broadcasting(spark):
     """join_skew_salted's shuffle_hash hint must hold: if AQE/Catalyst
     broadcasts the replicated dim side, the salted exchange the key
@@ -230,14 +269,25 @@ def test_full_oracle_keys_return_scalar_columns_only():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"parquet_scan('/root/testdata/sf0.001/{t}.parquet')"
         )
+    # Strict allowlist, not just a non-scalar denylist: DuckDB
+    # silently widens window-/plain sums over BIGINT to HUGEINT,
+    # which pandas materializes as float128/object and the driver's
+    # value-hash then diverges from Spark's int64 even when every
+    # value is equal (the r4 corpus_pack_sequences hash-fail;
+    # VERDICT r4 item 1).  Any type outside this set must be cast
+    # in the oracle SQL to the Spark-result dtype explicitly.
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "BOOLEAN", "TIMESTAMP",
+               "VARCHAR"}
     offenders = []
     for key, sql in entrymod.oracle_sql().items():
         for name, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
-            if "[]" in typ or typ.startswith(("MAP(", "STRUCT(", "LIST")):
+            if typ not in allowed:
                 offenders.append(f"{key}.{name}: {typ}")
     assert not offenders, (
-        "full-oracle keys with non-scalar top-level columns (the "
-        "driver canonicalizer cannot hash these):\n" + "\n".join(offenders)
+        "full-oracle keys with top-level columns outside the "
+        "driver-hashable dtype allowlist (cast in the oracle SQL — "
+        "HUGEINT/DECIMAL/LIST/... hash differently from Spark):\n"
+        + "\n".join(offenders)
     )
 
 
