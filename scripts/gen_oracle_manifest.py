@@ -11,7 +11,11 @@ this manifest is deliberately regenerated (a reviewable diff).
 
 Limitation: the hash covers the key's own function source and SQL
 string, not shared helpers it calls — a helper-only change still
-needs the window-rotation judgment call.
+needs the window-rotation judgment call.  Keys whose CORE behavior
+lives in a dedicated private helper close this gap by declaring
+``fn._hash_extra = (helper, ...)`` (see key_hash); only the generic
+shared infra (_t, _scratch_dir, _stream_src_dir) stays under the
+judgment-call rule.
 
 Usage: PYTHONPATH=. python scripts/gen_oracle_manifest.py
 """
@@ -34,6 +38,17 @@ def key_hash(fn, sql: str) -> str:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
         src = repr(fn)
+    # A key function that delegates its core behavior to a private
+    # helper declares it via `fn._hash_extra = (helper, ...)` so the
+    # helper's source is hashed too — otherwise a helper edit leaves
+    # the frozen hash unchanged and the key could sit outside the
+    # driver window on stale evidence (the blind spot documented
+    # above, closed for the plan/src helpers in r5).
+    for helper in getattr(fn, "_hash_extra", ()):
+        try:
+            src += "\n----\n" + inspect.getsource(helper)
+        except (OSError, TypeError):
+            src += "\n----\n" + repr(helper)
     return hashlib.md5((src + "\n----\n" + sql).encode()).hexdigest()
 
 

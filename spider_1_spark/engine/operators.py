@@ -304,8 +304,8 @@ def _grouped_topk(over: DataFrame, num_partitions: int | None) -> DataFrame:
         .collect()
     )
     _prof("grouped_topk stats-collect done")
-    offsets: dict[tuple[int, str], int] = {}
-    per_host: dict[str, int] = {}
+    offsets: dict[tuple[int, str | None], int] = {}
+    per_host: dict[str | None, int] = {}
     # None-safe sort key: nulls sort FIRST in the range partitioning,
     # so a large unparseable-URL population straddles the first
     # partition boundary and lands in `stats` as host=None alongside

@@ -954,12 +954,15 @@ def sink_insert_overwrite_dynamic(spark, sf):
     equal base-with-F-doubled — a static overwrite would drop O/P
     rows and fail rows_match, an append would double-count F."""
     _, back = _insert_overwrite_plan(spark, sf)
-    return back.groupBy("o_orderstatus").agg(
+    res = back.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
         .cast("double")
         .alias("sum_price"),
     )
+    # materialize: the lineage reads the scratch dir the NEXT
+    # invocation rmtree's — same hazard as stream_foreach_batch_upsert
+    return res.localCheckpoint(eager=True)
 
 
 COMPACT_FRAGMENT_N = 64
@@ -2134,8 +2137,10 @@ def stream_foreach_batch_upsert(spark, sf):
     )
     # materialize before returning: the frame's lineage reads log_dir,
     # which the NEXT invocation rmtree's — a caller holding the lazy
-    # frame across invocations would read deleted files (ADVICE r4;
-    # matches the module's other sink keys)
+    # frame across invocations would read deleted files (ADVICE r4).
+    # Only the two recycled-scratch-input keys (this one and
+    # sink_insert_overwrite_dynamic) need this; the other sink keys'
+    # scratch dirs are overwritten in place, never deleted first.
     return res.localCheckpoint(eager=True)
 
 
@@ -2663,6 +2668,16 @@ SQL: dict[str, str | None] = {
         "round(sum(value), 4) AS sum_v FROM events GROUP BY event_type"
     ),
 }
+
+# Keys whose core behavior lives in a dedicated private helper declare
+# it for the oracle-manifest hash (scripts/gen_oracle_manifest.key_hash):
+# a helper edit then changes the frozen hash, so the key cannot sit
+# outside the driver window on stale evidence.
+sink_insert_overwrite_dynamic._hash_extra = (_insert_overwrite_plan,)
+join_bucketed_colocated._hash_extra = (_bucketed_join_plan,)
+timeseries_gapfill._hash_extra = (_gapfill_plan,)
+stream_foreach_batch_upsert._hash_extra = (_stream_upsert_src_dir,)
+stream_dedup_watermark._hash_extra = (_stream_dup_src_dir,)
 
 FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_inline": source_inline,

@@ -65,6 +65,7 @@ SUBSET = [
     "stream_foreach_batch_upsert",  # r4: CDC merge-on-read sink
     "events_top_transitions",  # r4: Markov transition top-k
     "emb_dist_to_centroid",  # r4: embedding outlier QC distance
+    "sink_insert_overwrite_dynamic",  # r5: dynamic-partition overwrite
 ]
 
 

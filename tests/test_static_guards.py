@@ -199,12 +199,9 @@ def test_insert_overwrite_dynamic_touches_only_present_partitions(
         }
 
     base = {}
-    _, back = _insert_overwrite_plan(
+    out_dir, _ = _insert_overwrite_plan(
         spark, SF, probe=lambda out: base.update(inventory(out))
     )
-    out_dir = back.inputFiles()[0].rsplit("/o_orderstatus=", 1)[0]
-    if out_dir.startswith("file:"):
-        out_dir = out_dir[len("file:"):]
     after = inventory(out_dir)
     assert base["O"] and base["P"] and base["F"]
     assert after["O"] == base["O"] and after["P"] == base["P"]
